@@ -1,0 +1,111 @@
+"""Conditioning context pipeline.
+
+The context is a plain dict flowing from the input pipeline through the
+diffusion process into the score network (same protocol as the reference,
+/root/reference/xdiffusion/context.py). Two execution domains:
+
+- **Host-side context preprocessors** run before jit: they resolve
+  list-typed signals (prompt strings -> token/embedding arrays). Everything
+  that reaches a jitted program is a jax-compatible array.
+- **Device-side adapters / input preprocessors** are pure functions on dicts
+  of arrays and run inside the jitted loss/sampling programs (e.g. the CFG
+  unconditional-context adapters, super-resolution channel concat).
+
+Typical context keys: `timestep` (B,), `timestep_idx` (scalar, sampling
+only), `logsnr_t`/`logsnr_s` (B,, continuous schedulers), `classes` (B,),
+`text_prompts` (list[str], host only), `text_tokens` (B, L),
+`text_embeddings` (B, L, D).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax.numpy as jnp
+
+
+class Identity:
+    """No-op adapter; registry target for `torch.nn.Identity` in configs."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __call__(self, x=None, *args, **kwargs):
+        return x
+
+
+class NullContextAdapter:
+    """Returns an empty conditioning signal."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, context: Dict, **kwargs):
+        return None
+
+
+class IgnoreContextAdapter:
+    """Pass-through context preprocessor (reference: context.py:48)."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, context: Dict, **kwargs) -> Dict:
+        return context
+
+
+class IgnoreInputPreprocessor:
+    """Pass-through input preprocessor (reference: context.py:56)."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, x, context: Dict = None, noise_scheduler=None, **kwargs):
+        return x
+
+
+class UnconditionalTextPromptsAdapter:
+    """CFG adapter: replaces text prompts with empty strings (host-side)."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, context: Dict, **kwargs) -> Dict:
+        new_context = dict(context)
+        new_context["text_prompts"] = [""] * len(context["text_prompts"])
+        return new_context
+
+
+class UnconditionalClassesAdapter:
+    """CFG adapter: maps all class labels to the learned NULL class id.
+
+    The null id is `num_classes` (class-conditional score networks embed
+    num_classes + 1 labels). Pure on arrays: safe inside jit.
+    """
+
+    def __init__(self, num_classes: int, **kwargs):
+        self._num_classes = int(num_classes)
+
+    def __call__(self, context: Dict, **kwargs) -> Dict:
+        new_context = dict(context)
+        classes = context["classes"]
+        new_context["classes"] = jnp.zeros_like(classes) + self._num_classes
+        return new_context
+
+
+class TextTokenAdapter:
+    """Conditioning-signal selector: yields the token batch."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, context: Dict, **kwargs):
+        return context["text_tokens"]
+
+
+class ContextEmbeddingAdapter:
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, context: Dict, **kwargs):
+        return context["context_embedding"]
