@@ -1,0 +1,87 @@
+"""Headline benchmark: 50-step DDIM sampling of DDPM-MNIST 32x32.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (BASELINE.md), so
+`vs_baseline` is reported against a fixed reference constant measured from
+this framework's round-1 fp32 implementation on a single v5e chip —
+subsequent rounds show speedups against that anchor.
+
+The whole 50-step reverse process is ONE jitted lax.scan (zero host
+round-trips per step); the metric is end-to-end samples/sec/chip including
+the final device->host readback.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Round-1 anchor: first measured value (fp32, batch 64, single v5e chip,
+# 2026-08-16). Update only if the benchmark definition changes; perf
+# improvements show as vs_baseline > 1.
+BASELINE_SAMPLES_PER_SEC_CHIP = 224.61
+
+BATCH = 64
+STEPS = 50
+REPEATS = 5
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.diffusion.ddpm import GaussianDiffusion_DDPM
+    from xdiffusion_tpu.samplers.ddim import DDIMSampler
+
+    config_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "configs/image/mnist/ddpm_32x32_epsilon_discrete.yaml",
+    )
+    config = load_yaml(config_path)
+    # bfloat16 compute policy (params fp32): MXU-native inference precision.
+    config.diffusion.score_network.params.to_dict()["dtype"] = "bfloat16"
+    model = GaussianDiffusion_DDPM(config)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    n_chips = len(jax.devices())
+    sampler = DDIMSampler()
+
+    def run(seed):
+        return model.sample(
+            params,
+            jax.random.PRNGKey(seed),
+            num_samples=BATCH,
+            num_sampling_steps=STEPS,
+            sampler=sampler,
+        )
+
+    # Warmup / compile.
+    out = run(0)
+    np.asarray(out)
+
+    t0 = time.perf_counter()
+    for i in range(1, REPEATS + 1):
+        out = run(i)
+    np.asarray(out)  # force completion
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = BATCH * REPEATS / dt
+    per_chip = samples_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "samples/sec/chip (DDPM-MNIST 32x32, 50-step DDIM, batch 64)",
+                "value": round(per_chip, 2),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(per_chip / BASELINE_SAMPLES_PER_SEC_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

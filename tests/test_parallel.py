@@ -1,0 +1,90 @@
+"""Multi-device (8 virtual CPU) mesh tests: DP-sharded train step, FSDP
+parameter sharding rules, EMA tracking."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xdiffusion_tpu.diffusion.ddpm import GaussianDiffusion_DDPM
+from xdiffusion_tpu.optim import default_optimizer
+from xdiffusion_tpu.parallel import (
+    create_train_state,
+    fsdp_param_shardings,
+    make_mesh,
+    make_train_step,
+    shard_batch,
+)
+
+from test_diffusion import tiny_config
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_sharded_train_step_runs_and_learns():
+    model = GaussianDiffusion_DDPM(tiny_config())
+    mesh = make_mesh()  # (8, 1): pure DP
+    params = model.init_params(jax.random.PRNGKey(0))
+    tx = default_optimizer().build()
+    state = create_train_state(params, tx, ema=True)
+    step = make_train_step(model, tx, mesh, ema_decay=0.99)
+
+    batch = {
+        "images": np.random.default_rng(0).uniform(size=(16, 8, 8, 1)).astype(
+            np.float32
+        )
+    }
+    sharded = shard_batch(batch, mesh)
+    # Batch is actually split over the data axis.
+    assert (
+        sharded["images"].sharding.spec[0] == "data"
+        or sharded["images"].addressable_shards[0].data.shape[0] == 2
+    )
+
+    losses = []
+    rng = jax.random.PRNGKey(1)
+    for _ in range(5):
+        state, metrics = step(state, sharded, rng)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert int(state.step) == 5
+    # EMA tracked and distinct from params after updates.
+    diff = jax.tree_util.tree_reduce(
+        lambda acc, t: acc + float(jnp.sum(jnp.abs(t[0] - t[1]))),
+        jax.tree_util.tree_map(
+            lambda a, b: (a, b), state.params, state.ema_params
+        ),
+        0.0,
+    )
+    assert diff > 0.0
+
+
+def test_fsdp_sharding_rules_2x4_mesh():
+    model = GaussianDiffusion_DDPM(tiny_config())
+    mesh = make_mesh(shape=(2, 4))  # data=2, fsdp=4
+    params = model.init_params(jax.random.PRNGKey(0))
+    shardings = fsdp_param_shardings(params, mesh)
+    placed = jax.device_put(params, shardings)
+    # Sharded train step still runs with fsdp-placed params.
+    tx = default_optimizer().build()
+    state = create_train_state(placed, tx)
+    step = make_train_step(model, tx, mesh)
+    batch = shard_batch(
+        {"images": np.ones((8, 8, 8, 1), dtype=np.float32) * 0.5}, mesh
+    )
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sampling_under_mesh_sharding():
+    # Sampling jit works with params placed on a mesh (replicated).
+    model = GaussianDiffusion_DDPM(tiny_config(num_scales=8))
+    mesh = make_mesh()
+    params = model.init_params(jax.random.PRNGKey(0))
+    from xdiffusion_tpu.parallel.mesh import replicated
+
+    params = jax.device_put(params, replicated(mesh))
+    samples = model.sample(params, jax.random.PRNGKey(1), num_samples=8)
+    assert samples.shape == (8, 8, 8, 1)
+    assert np.all(np.isfinite(np.asarray(samples)))

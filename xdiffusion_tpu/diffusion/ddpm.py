@@ -1,0 +1,435 @@
+"""Gaussian diffusion process (DDPM / continuous / rectified-flow losses).
+
+Behavioral counterpart of the reference workhorse
+(/root/reference/xdiffusion/diffusion/ddpm.py:40-1046), re-cut along JAX's
+functional seams:
+
+- The process object owns *structure* (score-network module, scheduler
+  tables, preprocessors, CFG config) — all static at trace time.
+- Parameters are explicit pytrees threaded through pure methods:
+  `loss_on_batch(params, rng, images, context)` is the jittable training
+  objective; `sample_fn(...)` builds the single-scan sampling program
+  (see diffusion/sampling.py).
+- Training-time CFG dropout is a `jnp.where` mask over array signals
+  (string prompts are resolved to arrays by host-side preprocessors
+  *before* jit, per the context pipeline design).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from xdiffusion_tpu.config import (
+    DotConfig,
+    instantiate_from_config,
+    type_from_config,
+)
+from xdiffusion_tpu.diffusion import PredictionType, prediction_type_from_config
+from xdiffusion_tpu.diffusion.sampling import build_sample_loop
+from xdiffusion_tpu.importance_sampling import UniformSampler
+from xdiffusion_tpu.scheduler import elementwise_loss
+from xdiffusion_tpu.utils import (
+    discretized_gaussian_log_likelihood,
+    mean_flat,
+    normal_kl,
+    normalize_to_neg_one_to_one,
+    prob_mask_like,
+)
+
+
+class GaussianDiffusion_DDPM:
+    """Config-driven diffusion process over a score network."""
+
+    def __init__(self, config: DotConfig):
+        self._config = config
+        diff = config.diffusion
+
+        self._prediction_type = prediction_type_from_config(diff.parameterization)
+
+        # Score network: linen module instantiated with the params block as
+        # a config struct (reference contract: score_networks take a
+        # DotConfig).
+        sn_cfg = diff.score_network
+        sn_cls = type_from_config(sn_cfg.to_dict())
+        self._score_network = sn_cls(config=DotConfig(sn_cfg.params.to_dict()))
+        self._is_learned_sigma = bool(sn_cfg.params.is_learned_sigma)
+
+        # Scheduler + importance sampler.
+        self._noise_scheduler = instantiate_from_config(
+            diff.noise_scheduler.to_dict()
+        )
+        is_cfg = diff.noise_scheduler.params.get("importance_sampler")
+        if is_cfg is not None and "target" in is_cfg:
+            self._importance_sampler = instantiate_from_config(is_cfg.to_dict())
+        else:
+            self._importance_sampler = UniformSampler(self._noise_scheduler.steps())
+
+        # Host-side context preprocessors (prompt -> tokens/embeddings).
+        self._context_preprocessors = [
+            instantiate_from_config(c) for c in diff.get("context_preprocessing", [])
+        ]
+        # Device-side input preprocessor (e.g. super-res concat).
+        ip_cfg = diff.get("input_preprocessing")
+        self._input_preprocessor = (
+            instantiate_from_config(ip_cfg.to_dict()) if ip_cfg is not None else None
+        )
+
+        # Classifier-free guidance config.
+        cfg_block = diff.get("classifier_free_guidance")
+        if cfg_block is not None:
+            self._classifier_free_guidance = float(
+                cfg_block.classifier_free_guidance
+            )
+            self._unconditional_guidance_probability = float(
+                cfg_block.unconditional_guidance_probability
+            )
+            self._cfg_signals = list(cfg_block.signals)
+            self._unconditional_context_adapter = instantiate_from_config(
+                cfg_block.unconditional_context.to_dict()
+            )
+        else:
+            self._classifier_free_guidance = 0.0
+            self._unconditional_guidance_probability = 0.0
+            self._cfg_signals = []
+            self._unconditional_context_adapter = None
+
+        # Default reverse-process sampler from the sampling block.
+        sampling = diff.get("sampling")
+        if sampling is not None and "target" in sampling:
+            self._reverse_process_sampler = instantiate_from_config(
+                sampling.to_dict()
+            )
+        else:
+            from xdiffusion_tpu.samplers.ancestral import AncestralSampler
+
+            self._reverse_process_sampler = AncestralSampler()
+
+        # Optional SDE (rectified flow shells etc.).
+        sde_cfg = diff.get("sde")
+        self._sde = (
+            instantiate_from_config(sde_cfg.to_dict()) if sde_cfg is not None else None
+        )
+
+        self._latent_encoder = None  # latent diffusion arrives with the VAEs
+        self._extra_samplers: Dict[Any, Any] = {}
+
+    # -- protocol accessors (reference DiffusionModel interface) ----------
+
+    def config(self) -> DotConfig:
+        return self._config
+
+    def models(self) -> List[Any]:
+        return [self]
+
+    def score_network(self):
+        return self._score_network
+
+    def noise_scheduler(self):
+        return self._noise_scheduler
+
+    def importance_sampler(self):
+        return self._importance_sampler
+
+    def classifier_free_guidance(self) -> float:
+        return self._classifier_free_guidance
+
+    def prediction_type(self) -> PredictionType:
+        return self._prediction_type
+
+    def is_learned_sigma(self) -> bool:
+        return self._is_learned_sigma
+
+    def sde(self):
+        return self._sde
+
+    def dynamic_thresholding_config(self):
+        diff = self._config.diffusion
+        return diff.get("dynamic_thresholding")
+
+    # -- parameters --------------------------------------------------------
+
+    def example_batch(self, batch_size: int = 2) -> Tuple[jax.Array, Dict]:
+        """A fully-populated fake (x, context) matching the config's input
+        signature — the de-facto contract of the context protocol
+        (reference print_model_summary, ddpm.py:694-793)."""
+        diff = self._config.diffusion
+        sn = diff.score_network.params
+        s = sn.input_spatial_size
+        spatial = [s[0], s[1]] if isinstance(s, list) else [s, s]
+        x = jnp.zeros((batch_size, spatial[0], spatial[1], sn.input_channels))
+        context: Dict[str, Any] = {}
+        if self._noise_scheduler.continuous():
+            context["timestep"] = jnp.zeros((batch_size,), dtype=jnp.float32)
+            context["logsnr_t"] = jnp.zeros((batch_size,), dtype=jnp.float32)
+        else:
+            context["timestep"] = jnp.zeros((batch_size,), dtype=jnp.int32)
+        if sn.is_class_conditional:
+            context["classes"] = jnp.zeros((batch_size,), dtype=jnp.int32)
+        return x, context
+
+    def init_params(self, rng: jax.Array, batch_size: int = 2):
+        x, context = self.example_batch(batch_size)
+        return jax.jit(self._score_network.init)(rng, x, context)
+
+    # -- forward plumbing ---------------------------------------------------
+
+    def process_input(self, x: jax.Array, context: Dict) -> jax.Array:
+        if self._input_preprocessor is None:
+            return x
+        return self._input_preprocessor(
+            x=x, context=context, noise_scheduler=self._noise_scheduler
+        )
+
+    def predict_score(
+        self,
+        params,
+        x: jax.Array,
+        context: Dict,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+    ):
+        rngs = {"dropout": rng} if rng is not None else None
+        return self._score_network.apply(
+            params, x, context, deterministic=deterministic, rngs=rngs
+        )
+
+    def preprocess_context(self, context: Dict) -> Dict:
+        """Host-side context preprocessing (tokenization etc.). Run BEFORE
+        handing the context to a jitted program."""
+        for preprocessor in self._context_preprocessors:
+            context = preprocessor(context)
+        return context
+
+    def unconditional_context(self, context: Dict) -> Optional[Dict]:
+        if self._unconditional_context_adapter is None:
+            return None
+        out = self._unconditional_context_adapter(context)
+        return out if isinstance(out, dict) else None
+
+    # -- training loss -------------------------------------------------------
+
+    def loss_on_batch(
+        self,
+        params,
+        rng: jax.Array,
+        images: jax.Array,
+        context: Dict,
+        timesteps: Optional[jax.Array] = None,
+        loss_weights: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """Training objective on an NHWC batch in [0, 1]. Pure and jit-safe.
+
+        When the configured importance sampler is host-side (loss-history
+        based), `timesteps`/`loss_weights` are supplied by the train loop;
+        otherwise times are drawn from `rng` on-device.
+        """
+        b = images.shape[0]
+        context = dict(context)
+        rng_t, rng_eps, rng_cfg, rng_drop = jax.random.split(rng, 4)
+
+        x_0 = normalize_to_neg_one_to_one(images)
+        z_0 = x_0  # latent encoding hooks in here once VAEs land
+
+        if timesteps is not None:
+            t = timesteps
+            weights = (
+                loss_weights
+                if loss_weights is not None
+                else jnp.ones((b,), dtype=jnp.float32)
+            )
+        else:
+            t, weights = self._noise_scheduler.sample_random_times(rng_t, b)
+        if self._noise_scheduler.continuous():
+            context["logsnr_t"] = self._noise_scheduler.logsnr(t)
+        context["timestep"] = t
+
+        epsilon = jax.random.normal(rng_eps, z_0.shape, dtype=z_0.dtype)
+        x_t = self._noise_scheduler.q_sample(x_start=z_0, t=t, noise=epsilon)
+
+        # Training-time CFG: drop conditioning signals to their
+        # unconditional values with the configured probability.
+        if (
+            self._unconditional_guidance_probability > 0.0
+            and self._unconditional_context_adapter is not None
+        ):
+            uncond = self.unconditional_context(context)
+            mask = prob_mask_like(
+                rng_cfg, (b,), self._unconditional_guidance_probability
+            )
+            for key in self._cfg_signals:
+                cond_sig = context[key]
+                uncond_sig = uncond[key]
+                m = mask.reshape((b,) + (1,) * (cond_sig.ndim - 1))
+                context[key] = jnp.where(m, uncond_sig, cond_sig)
+
+        x_in = self.process_input(x_t, context)
+        model_output = self.predict_score(
+            params, x_in, context, deterministic=False, rng=rng_drop
+        )
+
+        if self._is_learned_sigma:
+            model_prediction, learned_variance = model_output
+        else:
+            model_prediction = model_output
+
+        if self._prediction_type == PredictionType.EPSILON:
+            prediction_target = epsilon
+        elif self._prediction_type == PredictionType.V:
+            prediction_target = self._noise_scheduler.predict_v_from_x_and_epsilon(
+                x=z_0, epsilon=epsilon, t=t
+            )
+        elif self._prediction_type == PredictionType.RECTIFIED_FLOW:
+            prediction_target = z_0 - epsilon
+        else:
+            raise NotImplementedError(
+                f"Prediction type {self._prediction_type} not implemented."
+            )
+
+        loss_type = getattr(self._noise_scheduler, "loss_type", "l2")
+        mse_loss = mean_flat(
+            elementwise_loss(loss_type, model_prediction, prediction_target)
+        )
+
+        vb_loss = jnp.zeros_like(mse_loss)
+        if self._is_learned_sigma:
+            # Freeze the prediction path so the VLB term only trains the
+            # variance head, then rescale by 1e-3 (Improved-DDPM hybrid
+            # objective; reference ddpm.py:300-327).
+            frozen = (jax.lax.stop_gradient(model_prediction), learned_variance)
+            vb_loss = self._vb_bits_per_dim(
+                epsilon_v_param=frozen,
+                x_0=z_0,
+                x_t=x_t,
+                context=context,
+                clip_denoised=False,
+            )
+            vb_loss = vb_loss * 1e-3
+
+        total = (mse_loss + vb_loss) * weights
+        metrics = {
+            "loss": total.mean(),
+            "mse_loss": mse_loss.mean(),
+            "vb_loss": vb_loss.mean(),
+            "timesteps": t,
+            "loss_per_example": jax.lax.stop_gradient(mse_loss + vb_loss),
+        }
+        return total.mean(), metrics
+
+    def _vb_bits_per_dim(
+        self, epsilon_v_param, x_0, x_t, context: Dict, clip_denoised: bool
+    ) -> jax.Array:
+        """Variational-bound term in bits/dim for learned-sigma models
+        (reference ddpm.py:989-1046)."""
+        model_prediction, learned_variance = epsilon_v_param
+        sched = self._noise_scheduler
+
+        true_mean, _, true_log_var = sched.q_posterior(
+            x_start=x_0, x_t=x_t, context=context
+        )
+        if self._prediction_type == PredictionType.EPSILON:
+            x_hat = sched.predict_x_from_epsilon(
+                z=x_t, epsilon=model_prediction, context=context
+            )
+        else:
+            x_hat = sched.predict_x_from_v(
+                z=x_t, v=model_prediction, context=context
+            )
+        if clip_denoised:
+            x_hat = jnp.clip(x_hat, -1.0, 1.0)
+        model_mean, _, _ = sched.q_posterior(x_start=x_hat, x_t=x_t, context=context)
+        model_log_var = learned_variance
+
+        kl = normal_kl(true_mean, true_log_var, model_mean, model_log_var)
+        kl = mean_flat(kl) / jnp.log(2.0)
+
+        decoder_nll = -discretized_gaussian_log_likelihood(
+            x_0, means=model_mean, log_scales=0.5 * model_log_var
+        )
+        decoder_nll = mean_flat(decoder_nll) / jnp.log(2.0)
+
+        # At t == 0 use the decoder NLL, else the KL.
+        t = context["timestep"]
+        is_t0 = (t == 0) if t.dtype in (jnp.int32, jnp.int64) else (t < 1e-8)
+        return jnp.where(is_t0, decoder_nll, kl)
+
+    # -- sampling -------------------------------------------------------------
+
+    def sampling_shape(self, num_samples: int) -> Tuple[int, ...]:
+        sampling = self._config.diffusion.sampling
+        s = sampling.output_spatial_size
+        spatial = [s[0], s[1]] if isinstance(s, list) else [s, s]
+        if "output_frames" in sampling:
+            return (
+                num_samples,
+                sampling.output_frames,
+                spatial[0],
+                spatial[1],
+                sampling.output_channels,
+            )
+        return (num_samples, spatial[0], spatial[1], sampling.output_channels)
+
+    @functools.lru_cache(maxsize=16)
+    def _cached_sample_fn(
+        self, num_samples, num_steps, cfg, sampler_key
+    ) -> Callable:
+        sampler = (
+            self._extra_samplers[sampler_key]
+            if sampler_key is not None
+            else self._reverse_process_sampler
+        )
+        shape = self.sampling_shape(num_samples)
+        fn = build_sample_loop(
+            process=self,
+            shape=shape,
+            num_sampling_steps=num_steps,
+            sampler=sampler,
+            classifier_free_guidance=cfg,
+        )
+        return jax.jit(fn)
+
+    def sample(
+        self,
+        params,
+        rng: jax.Array,
+        num_samples: int = 16,
+        context: Optional[Dict] = None,
+        classifier_free_guidance: Optional[float] = None,
+        num_sampling_steps: Optional[int] = None,
+        sampler=None,
+        initial_noise: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Generate samples; the full reverse process is one jitted scan.
+
+        Host-side context preprocessing happens here (string prompts ->
+        arrays); everything after is on-device.
+        """
+        context = dict(context or {})
+        steps = (
+            num_sampling_steps
+            if num_sampling_steps is not None
+            else self._noise_scheduler.steps()
+        )
+
+        unconditional_context = None
+        if classifier_free_guidance is not None:
+            unconditional_context = self.unconditional_context(context)
+            if unconditional_context is not None:
+                unconditional_context = self.preprocess_context(
+                    unconditional_context
+                )
+        context = self.preprocess_context(context)
+
+        sampler_key = None
+        if sampler is not None:
+            sampler_key = (type(sampler).__module__, type(sampler).__name__)
+            self._extra_samplers[sampler_key] = sampler
+        sample_fn = self._cached_sample_fn(
+            num_samples, steps, classifier_free_guidance, sampler_key
+        )
+        return sample_fn(
+            params, rng, context, unconditional_context, initial_noise
+        )

@@ -1,0 +1,113 @@
+"""Attention blocks over spatial feature maps and token sequences.
+
+Counterpart of the reference attention layers
+(/root/reference/xdiffusion/layers/attention.py:20-380). All attention
+math routes through `xdiffusion_tpu.ops.dot_product_attention`, which
+dispatches between a Pallas flash kernel and a fused XLA path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from xdiffusion_tpu.ops import dot_product_attention
+
+
+class SpatialCrossAttention(nn.Module):
+    """Self/cross attention over the spatial positions of an NHWC map.
+
+    With context_dim in (None, -1) this is multi-head self attention;
+    otherwise keys/values additionally attend over a (B, L, context_dim)
+    conditioning sequence found at context["text_embeddings"]
+    (GLIDE-style encoder kv, reference: layers/attention.py:20-143).
+
+    heads is derived as channels // dim_head unless dim_head == -1, in
+    which case `heads` is used directly (reference semantics).
+    """
+
+    in_channels: int
+    context_dim: Optional[int] = None
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    is_causal: bool = False
+    context_key: str = "text_embeddings"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, context: Optional[Dict] = None, deterministic: bool = True
+    ) -> jax.Array:
+        b, h, w, c = x.shape
+        assert c == self.in_channels
+        if self.dim_head == -1:
+            num_heads = self.heads
+        else:
+            assert c % self.dim_head == 0, (
+                f"channels {c} not divisible by dim_head {self.dim_head}"
+            )
+            num_heads = c // self.dim_head
+        head_dim = c // num_heads
+
+        groups = 32 if c % 32 == 0 else max(1, c // 4)
+        hidden = nn.GroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(x)
+        hidden = hidden.reshape(b, h * w, c)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(hidden)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def to_heads(t, length):
+            return t.reshape(b, length, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q = to_heads(q, h * w)
+        k = to_heads(k, h * w)
+        v = to_heads(v, h * w)
+
+        context_dim = None if self.context_dim in (None, -1) else self.context_dim
+        if context_dim is not None and context is not None:
+            enc = context[self.context_key]  # (B, L, context_dim)
+            enc_kv = nn.Dense(2 * c, dtype=self.dtype, name="encoder_kv")(enc)
+            ek, ev = jnp.split(enc_kv, 2, axis=-1)
+            k = jnp.concatenate([to_heads(ek, enc.shape[1]), k], axis=2)
+            v = jnp.concatenate([to_heads(ev, enc.shape[1]), v], axis=2)
+
+        out = dot_product_attention(q, k, v, is_causal=self.is_causal)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        out = nn.Dense(
+            c, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="proj_out"
+        )(out)
+        if self.dropout > 0.0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return x + out.reshape(b, h, w, c)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Token-sequence MHSA used by DiT-family transformers
+    (reference: layers/attention.py:313-380)."""
+
+    num_heads: int
+    qkv_bias: bool = True
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        b, n, c = x.shape
+        assert c % self.num_heads == 0
+        head_dim = c // self.num_heads
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        reshape = lambda t: t.reshape(b, n, self.num_heads, head_dim).transpose(
+            0, 2, 1, 3
+        )
+        out = dot_product_attention(reshape(q), reshape(k), reshape(v))
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        if self.dropout > 0.0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out

@@ -1,0 +1,251 @@
+"""Embedding / projection layers for conditioning signals.
+
+Counterparts of the reference embedding layers
+(/root/reference/xdiffusion/layers/embedding.py:52-240): sinusoidal
+timestep features + MLP projections, class-label embeddings, and the
+`RunProjection` context-transformer glue that turns raw context signals
+(`timestep`, `classes`) into embeddings consumed by the blocks.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def sinusoidal_embedding(
+    t: jax.Array, embedding_dim: int, max_time: float = 1000.0, theta: float = 10000.0
+) -> jax.Array:
+    """Transformer sinusoidal features of a (B,) time vector.
+
+    Times are rescaled by 1000/max_time so discrete indices (max_time=1000)
+    and continuous times in [0,1] (max_time=1.0) land on the same frequency
+    band (reference: embedding.py:66-76). Output is (B, embedding_dim) with
+    sin features first.
+    """
+    x = t.astype(jnp.float32) * (1000.0 / max_time)
+    half_dim = embedding_dim // 2
+    freqs = jnp.exp(
+        jnp.arange(half_dim, dtype=jnp.float32) * (-math.log(theta) / (half_dim - 1))
+    )
+    args = x[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class TimestepEmbeddingProjection(nn.Module):
+    """Sinusoidal features -> 2-layer SiLU MLP (reference: embedding.py:79).
+
+    Output dim is num_features * time_embedding_mult.
+    """
+
+    num_features: int
+    time_embedding_mult: int = 4
+    max_time: float = 1000.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, timestep: jax.Array, context: Dict = None) -> jax.Array:
+        dim = self.num_features * self.time_embedding_mult
+        emb = sinusoidal_embedding(timestep, self.num_features, self.max_time)
+        emb = nn.Dense(dim, dtype=self.dtype, name="fc1")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(dim, dtype=self.dtype, name="fc2")(emb)
+        return emb
+
+
+class InvCosTimestepEmbeddingProjection(nn.Module):
+    """Timestep projection over arctan(exp(-logsnr/2)) warped time.
+
+    Used by continuous (logSNR-conditioned) models so the network sees a
+    bounded [0,1] time signal (reference: embedding.py:108-140).
+    """
+
+    num_features: int
+    time_embedding_mult: int = 4
+    max_time: float = 1000.0
+    clip_min: float = -20.0
+    clip_max: float = 20.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, timestep: jax.Array, context: Dict = None) -> jax.Array:
+        warped = jnp.arctan(
+            jnp.exp(-0.5 * jnp.clip(timestep, self.clip_min, self.clip_max))
+        ) / (0.5 * math.pi)
+        dim = self.num_features * self.time_embedding_mult
+        emb = sinusoidal_embedding(warped, self.num_features, self.max_time)
+        emb = nn.Dense(dim, dtype=self.dtype, name="fc1")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(dim, dtype=self.dtype, name="fc2")(emb)
+        return emb
+
+
+class LabelEmbeddingProjection(nn.Module):
+    """Class-label embedding with a NULL row for CFG (id == num_classes)."""
+
+    num_classes: int
+    embedding_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, classes: jax.Array, context: Dict = None) -> jax.Array:
+        table = nn.Embed(
+            self.num_classes + 1, self.embedding_dim, dtype=self.dtype, name="embed"
+        )
+        return table(classes.astype(jnp.int32))
+
+
+class DiTTimestepEmbedding(nn.Module):
+    """DiT timestep embedder: sinusoidal features -> SiLU MLP
+    (reference: embedding.py:325-343)."""
+
+    hidden_size: int
+    frequency_embedding_size: int = 256
+    max_time: float = 1000.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, timestep: jax.Array, context: Dict = None) -> jax.Array:
+        init = nn.initializers.normal(stddev=0.02)
+        emb = sinusoidal_embedding(
+            timestep, self.frequency_embedding_size, self.max_time
+        )
+        emb = nn.Dense(self.hidden_size, kernel_init=init, dtype=self.dtype,
+                       name="fc1")(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.hidden_size, kernel_init=init, dtype=self.dtype,
+                       name="fc2")(emb)
+        return emb
+
+
+class DiTLabelEmbedding(nn.Module):
+    """DiT class-label embedding with NULL row for CFG
+    (reference: embedding.py:346-383). Training-time label dropout is
+    handled by the diffusion process's CFG mask, not here."""
+
+    num_classes: int
+    hidden_size: int
+    unconditional_override: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, labels: jax.Array, context: Dict = None) -> jax.Array:
+        table = nn.Embed(
+            self.num_classes + 1,
+            self.hidden_size,
+            embedding_init=nn.initializers.normal(stddev=0.02),
+            dtype=self.dtype,
+            name="table",
+        )
+        if self.unconditional_override:
+            labels = jnp.zeros_like(labels) + self.num_classes
+        return table(labels.astype(jnp.int32))
+
+
+class DiTCombineEmbeddings:
+    """Context head op summing several embeddings into one key
+    (reference: embedding.py:385-406)."""
+
+    def __init__(self, output_context_key: str, source_context_keys, **kwargs):
+        self.output_context_key = output_context_key
+        self.source_context_keys = list(source_context_keys)
+
+    def __call__(self, context: Dict, projections: Dict = None) -> Dict:
+        new_context = dict(context)
+        x = context[self.source_context_keys[0]]
+        for key in self.source_context_keys[1:]:
+            x = x + context[key]
+        new_context[self.output_context_key] = x
+        return new_context
+
+
+# Reference configs spell it without the 'i' (embedding.py:385).
+DiTCombineEmbeddngs = DiTCombineEmbeddings
+
+
+def sincos_position_embedding_2d(
+    embed_dim: int, grid_h: int, grid_w: int
+) -> jax.Array:
+    """Fixed 2D sin-cos positional embedding, (grid_h*grid_w, embed_dim).
+
+    Half the channels encode the row coordinate, half the column, each
+    with the standard sin/cos frequency bands (reference: layers/utils.py:
+    188-286, the ViT/MAE construction).
+    """
+    assert embed_dim % 4 == 0
+    import numpy as np
+
+    def one_dim(dim, positions):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / (10000.0**omega)
+        out = np.einsum("p,f->pf", positions, omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    grid_y = np.arange(grid_h, dtype=np.float64)
+    grid_x = np.arange(grid_w, dtype=np.float64)
+    yy, xx = np.meshgrid(grid_y, grid_x, indexing="ij")
+    emb_h = one_dim(embed_dim // 2, yy.reshape(-1))
+    emb_w = one_dim(embed_dim // 2, xx.reshape(-1))
+    return jnp.asarray(
+        jnp.concatenate([jnp.asarray(emb_h), jnp.asarray(emb_w)], axis=1),
+        dtype=jnp.float32,
+    )
+
+
+class PatchEmbed(nn.Module):
+    """NHWC image -> (B, N, D) patch tokens via a strided conv
+    (reference: embedding.py:409-510, timm-style)."""
+
+    patch_size: int
+    embed_dim: int
+    bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        p = self.patch_size
+        assert h % p == 0 and w % p == 0, f"{(h, w)} not divisible by {p}"
+        x = nn.Conv(
+            self.embed_dim,
+            (p, p),
+            strides=(p, p),
+            use_bias=self.bias,
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        return x.reshape(b, (h // p) * (w // p), self.embed_dim)
+
+
+class RunProjection:
+    """Context-transformer head: context[out_key] = proj(context[in_key]).
+
+    Pure config-glue (reference: embedding.py:240); the actual projection
+    module is owned by the score network's projection dict and passed in.
+    """
+
+    def __init__(
+        self,
+        input_context_key: str,
+        output_context_key: str,
+        projection_key: str,
+        **kwargs,
+    ):
+        self.input_context_key = input_context_key
+        self.output_context_key = output_context_key
+        self.projection_key = projection_key
+
+    def __call__(self, context: Dict, projections: Dict) -> Dict:
+        assert self.input_context_key in context, (
+            f"{self.input_context_key} not found for projection "
+            f"{self.projection_key}."
+        )
+        new_context = dict(context)
+        new_context[self.output_context_key] = projections[self.projection_key](
+            context[self.input_context_key], context=context
+        )
+        return new_context

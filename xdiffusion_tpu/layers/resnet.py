@@ -1,0 +1,167 @@
+"""Residual blocks and resampling layers for UNet-family score networks.
+
+Counterparts of the reference blocks (/root/reference/xdiffusion/layers/
+resnet.py:9-200): DDPM WideResNet-style blocks and BigGAN up/down blocks,
+with adaptive GroupNorm (scale-shift) timestep conditioning. NHWC layout;
+the closing conv of each residual branch is zero-initialized so blocks
+start as identity (standard diffusion-UNet trick, keeps early training
+stable and XLA-fuses into a no-op at init).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _group_norm(c: int, name: str, dtype) -> nn.GroupNorm:
+    # GroupNorm(32) like the reference, but degrade gracefully for thin
+    # channels (tests / tiny configs).
+    groups = 32 if c % 32 == 0 else max(1, c // 4)
+    return nn.GroupNorm(num_groups=groups, name=name, dtype=dtype)
+
+
+def nearest_upsample_2x(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, 2H, 2W, C) nearest-neighbor."""
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def avg_pool_2x(x: jax.Array) -> jax.Array:
+    return nn.avg_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+class Downsample(nn.Module):
+    """2x spatial downsample: strided conv if with_conv else avg-pool."""
+
+    channels: int
+    with_conv: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Dict = None, **kwargs) -> jax.Array:
+        if self.with_conv:
+            return nn.Conv(
+                self.channels, (3, 3), strides=(2, 2), dtype=self.dtype, name="conv"
+            )(x)
+        return avg_pool_2x(x)
+
+
+class Upsample(nn.Module):
+    """2x spatial upsample: nearest-neighbor + optional 3x3 conv."""
+
+    channels: int
+    with_conv: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Dict = None, **kwargs) -> jax.Array:
+        x = nearest_upsample_2x(x)
+        if self.with_conv:
+            x = nn.Conv(self.channels, (3, 3), dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class ResnetBlockBigGAN(nn.Module):
+    """BigGAN-style residual block with optional built-in up/downsampling.
+
+    Timestep conditioning is adaptive GroupNorm when use_scale_shift_norm,
+    else additive (reference behavior: layers/resnet.py:83-200).
+    """
+
+    dim_out: int
+    use_scale_shift_norm: bool = True
+    use_conv: bool = False  # 3x3 (vs 1x1) skip projection on channel change
+    up: bool = False
+    down: bool = False
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, context: Dict, deterministic: bool = True
+    ) -> jax.Array:
+        dim_in = x.shape[-1]
+        h = nn.silu(_group_norm(dim_in, "norm1", self.dtype)(x))
+        if self.up:
+            h = nearest_upsample_2x(h)
+            x = nearest_upsample_2x(x)
+        elif self.down:
+            h = avg_pool_2x(h)
+            x = avg_pool_2x(x)
+        h = nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="conv1")(h)
+
+        emb = context["timestep_embedding"]
+        if "class_embedding" in context:
+            emb = emb + context["class_embedding"]
+        emb_dim = 2 * self.dim_out if self.use_scale_shift_norm else self.dim_out
+        emb_out = nn.Dense(emb_dim, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
+        emb_out = emb_out[:, None, None, :]
+
+        norm2 = _group_norm(self.dim_out, "norm2", self.dtype)
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = norm2(h) * (1.0 + scale) + shift
+        else:
+            h = norm2(h + emb_out)
+        h = nn.silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(
+            self.dim_out,
+            (3, 3),
+            kernel_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="conv2",
+        )(h)
+
+        if dim_in != self.dim_out:
+            if self.use_conv:
+                x = nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="skip")(x)
+            else:
+                x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype, name="skip")(x)
+        return x + h
+
+
+class ResnetBlockDDPM(nn.Module):
+    """Original DDPM WideResNet block (reference: layers/resnet.py:9-81)."""
+
+    dim_out: int
+    use_scale_shift_norm: bool = False
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, context: Dict, deterministic: bool = True
+    ) -> jax.Array:
+        dim_in = x.shape[-1]
+        h = nn.silu(_group_norm(dim_in, "norm1", self.dtype)(x))
+        h = nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="conv1")(h)
+
+        emb = context["timestep_embedding"]
+        if "class_embedding" in context:
+            emb = emb + context["class_embedding"]
+        emb_dim = 2 * self.dim_out if self.use_scale_shift_norm else self.dim_out
+        emb_out = nn.Dense(emb_dim, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
+        emb_out = emb_out[:, None, None, :]
+
+        norm2 = _group_norm(self.dim_out, "norm2", self.dtype)
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = norm2(h) * (1.0 + scale) + shift
+        else:
+            h = norm2(h + emb_out)
+        h = nn.silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="conv2")(h)
+
+        if dim_in != self.dim_out:
+            x = nn.Dense(self.dim_out, dtype=self.dtype, name="skip")(x)
+        return x + h

@@ -1,0 +1,9 @@
+"""Hot-path ops: Pallas TPU kernels with pure-XLA fallbacks.
+
+Every op in this package has two implementations selected at trace time:
+a Pallas kernel tuned for TPU tiling (MXU/VPU-aligned shapes), and a
+jnp/XLA fallback used for small shapes, interpret mode, and non-TPU
+backends. Callers import the dispatcher, never a specific backend.
+"""
+
+from xdiffusion_tpu.ops.attention import dot_product_attention  # noqa: F401

@@ -1,0 +1,26 @@
+"""Distribution layer: device meshes, sharding rules, train-step builder.
+
+This is the TPU-native replacement for the reference's Accelerate/DDP
+wrapper stack (reference training/image/train.py:108-226 and SURVEY §2.14):
+
+- scaling is declared, not wrapped: a `jax.sharding.Mesh` with ('data',
+  'fsdp') axes, batches sharded over 'data', parameters either replicated
+  (DP) or sharded over 'fsdp' (ZeRO-3 style);
+- the gradient all-reduce is not written anywhere — XLA derives the psum
+  over ICI from the shardings;
+- the train step is ONE jitted program with donated state (no optimizer
+  step / EMA / clip on the host).
+"""
+
+from xdiffusion_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    fsdp_param_shardings,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from xdiffusion_tpu.parallel.train_step import (  # noqa: F401
+    TrainState,
+    create_train_state,
+    make_train_step,
+)

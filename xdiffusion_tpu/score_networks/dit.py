@@ -1,0 +1,194 @@
+"""DiT: Diffusion Transformer score network (adaLN-Zero).
+
+Config-compatible counterpart of the reference DiT
+(/root/reference/xdiffusion/score_networks/dit.py:77-229, "Scalable
+Diffusion Models with Transformers", arXiv:2212.09748): patchify ->
+transformer blocks modulated by adaLN-Zero conditioning -> linear
+unpatchify head.
+
+TPU notes: token count at 32x32/patch-8 is 16, so all attention runs on
+the fused XLA path; hidden matmuls (384 x 1536 MLPs) land on the MXU. The
+conditioning MLP emits all 6 modulation signals in one matmul per block.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from xdiffusion_tpu.config import DotConfig, instantiate_from_config
+from xdiffusion_tpu.layers.attention import MultiHeadSelfAttention
+from xdiffusion_tpu.layers.embedding import (
+    PatchEmbed,
+    RunProjection,
+    sincos_position_embedding_2d,
+)
+
+
+def modulate(x: jax.Array, shift: jax.Array, scale: jax.Array) -> jax.Array:
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+class DiTBlock(nn.Module):
+    """Transformer block with adaLN-Zero conditioning
+    (reference: dit.py:20-52)."""
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, c: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        # One matmul for all six modulation signals; zero-init so every
+        # block starts as identity (adaLN-Zero).
+        mod = nn.Dense(
+            6 * self.hidden_size,
+            kernel_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="adaLN_modulation",
+        )(nn.silu(c))
+        (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp) = jnp.split(
+            mod, 6, axis=-1
+        )
+
+        norm1 = nn.LayerNorm(use_bias=False, use_scale=False, name="norm1")(x)
+        attn = MultiHeadSelfAttention(
+            num_heads=self.num_heads,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="attn",
+        )(modulate(norm1, shift_msa, scale_msa), deterministic=deterministic)
+        x = x + gate_msa[:, None, :] * attn
+
+        norm2 = nn.LayerNorm(use_bias=False, use_scale=False, name="norm2")(x)
+        h = modulate(norm2, shift_mlp, scale_mlp)
+        mlp_dim = int(self.hidden_size * self.mlp_ratio)
+        h = nn.Dense(mlp_dim, dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=True)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.hidden_size, dtype=self.dtype, name="mlp_fc2")(h)
+        return x + gate_mlp[:, None, :] * h
+
+
+class FinalLayer(nn.Module):
+    """adaLN + zero-init linear head (reference: dit.py:55-74)."""
+
+    hidden_size: int
+    patch_size: int
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, c: jax.Array) -> jax.Array:
+        mod = nn.Dense(
+            2 * self.hidden_size,
+            kernel_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="adaLN_modulation",
+        )(nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        x = nn.LayerNorm(use_bias=False, use_scale=False, name="norm")(x)
+        x = modulate(x, shift, scale)
+        return nn.Dense(
+            self.patch_size * self.patch_size * self.out_channels,
+            kernel_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+
+
+class DiT(nn.Module):
+    """Instantiated with the score_network params block as a DotConfig."""
+
+    config: Any
+
+    def setup(self):
+        cfg = self.config
+        dt = jnp.bfloat16 if cfg.get("dtype", "float32") == "bfloat16" else jnp.float32
+        self._dtype = dt
+        self._patch_size = int(cfg.patch_size)
+        self._hidden_size = int(cfg.hidden_size)
+        self._is_learned_sigma = bool(cfg.is_learned_sigma)
+        self._out_channels = (
+            cfg.input_channels * 2 if self._is_learned_sigma else cfg.output_channels
+        )
+        s = cfg.input_spatial_size
+        self._spatial = [s[0], s[1]] if isinstance(s, list) else [s, s]
+
+        projections = {}
+        for name in cfg.conditioning.signals:
+            projections[name] = instantiate_from_config(
+                cfg.conditioning.projections[name].to_dict()
+            )
+        self._projections = projections
+        head_cfg = cfg.conditioning.context_transformer_head
+        head_list = head_cfg if isinstance(head_cfg, list) else [head_cfg.to_dict()]
+        self._context_heads = [instantiate_from_config(h) for h in head_list]
+
+        self._patch_embed = PatchEmbed(
+            patch_size=self._patch_size,
+            embed_dim=self._hidden_size,
+            dtype=dt,
+            name="patch_embed",
+        )
+        grid = [self._spatial[0] // self._patch_size,
+                self._spatial[1] // self._patch_size]
+        self._pos_embed = sincos_position_embedding_2d(
+            self._hidden_size, grid[0], grid[1]
+        )
+        dropout = float(cfg.dropout) if "dropout" in cfg else 0.0
+        self._blocks = [
+            DiTBlock(
+                hidden_size=self._hidden_size,
+                num_heads=int(cfg.num_heads),
+                mlp_ratio=float(cfg.mlp_ratio),
+                dropout=dropout,
+                dtype=dt,
+            )
+            for _ in range(int(cfg.depth))
+        ]
+        self._final = FinalLayer(
+            hidden_size=self._hidden_size,
+            patch_size=self._patch_size,
+            out_channels=self._out_channels,
+        )
+
+    def _unpatchify(self, x: jax.Array) -> jax.Array:
+        """(B, N, p*p*C) -> (B, H, W, C)."""
+        b, n, _ = x.shape
+        p = self._patch_size
+        gh, gw = self._spatial[0] // p, self._spatial[1] // p
+        c = self._out_channels
+        x = x.reshape(b, gh, gw, p, p, c)
+        x = jnp.einsum("bhwpqc->bhpwqc", x)
+        return x.reshape(b, gh * p, gw * p, c)
+
+    def __call__(
+        self, x: jax.Array, context: Dict, deterministic: bool = True
+    ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
+        context = dict(context)
+        for head in self._context_heads:
+            if isinstance(head, RunProjection):
+                context = head(context, self._projections)
+            elif hasattr(head, "source_context_keys"):  # combine op
+                context = head(context)
+            else:
+                context = head(context)
+        c = context["timestep_embedding"]
+
+        tokens = self._patch_embed(x) + self._pos_embed[None, :, :]
+        for block in self._blocks:
+            tokens = block(tokens, c, deterministic=deterministic)
+        tokens = self._final(tokens, c)
+        out = self._unpatchify(tokens).astype(jnp.float32)
+        if self._is_learned_sigma:
+            return tuple(jnp.split(out, 2, axis=-1))
+        return out

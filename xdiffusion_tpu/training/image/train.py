@@ -1,0 +1,234 @@
+"""Image-diffusion training loop.
+
+Behavioral counterpart of the reference loop
+(/root/reference/xdiffusion/training/image/train.py:35-456) rebuilt around
+the jitted step: instead of an eager host loop with per-op dispatch and a
+DDP wrapper, the host only feeds numpy batches onto the mesh and
+checkpoints/samples at intervals — all math lives in two compiled
+programs (train step, sample scan).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xdiffusion_tpu import checkpoints
+from xdiffusion_tpu.config import DotConfig, instantiate_from_config, load_yaml
+from xdiffusion_tpu.datasets import load_dataset
+from xdiffusion_tpu.datasets.utils import batch_iterator
+from xdiffusion_tpu.diffusion.ddpm import GaussianDiffusion_DDPM
+from xdiffusion_tpu.optim import Adam, default_optimizer
+from xdiffusion_tpu.parallel import (
+    create_train_state,
+    make_mesh,
+    make_train_step,
+    shard_batch,
+)
+from xdiffusion_tpu.training.common import MetricsLogger, save_image_grid
+
+
+def build_model(config: DotConfig):
+    """Instantiate the diffusion process named by the config (top-level
+    `target:`, `diffusion_cascade:`, or the default DDPM process)."""
+    if "target" in config:
+        return instantiate_from_config(config.to_dict(), use_config_struct=True)
+    return GaussianDiffusion_DDPM(config)
+
+
+def build_optimizer(config: DotConfig):
+    if "optimizer" in config:
+        opt = instantiate_from_config(config.optimizer.to_dict())
+    else:
+        opt = default_optimizer()
+    schedule = None
+    if "learning_rate_schedule" in config:
+        schedule = instantiate_from_config(
+            config.learning_rate_schedule.to_dict()
+        )
+    return opt.build(schedule)
+
+
+def train(
+    config_path: str,
+    num_training_steps: int = 10000,
+    batch_size: int = 128,
+    dataset_name: str = "image/mnist",
+    output_path: str = "output",
+    save_and_sample_every_n: int = 1000,
+    sample_with_guidance: bool = False,
+    resume_from: Optional[str] = None,
+    load_model_weights_from_checkpoint: Optional[str] = None,
+    seed: int = 0,
+    mixed_precision: str = "",
+    num_samples: int = 64,
+) -> str:
+    """Train an image diffusion model from a YAML config.
+
+    Returns the run output directory (checkpoints + sample grids +
+    metrics.jsonl inside).
+    """
+    config = load_yaml(config_path)
+    if "training" in config and "batch_size" in config.training:
+        # Config batch size takes precedence unless CLI overrides
+        # (reference precedence: train.py:71-80).
+        if batch_size <= 0:
+            batch_size = config.training.batch_size
+
+    run_name = os.path.splitext(os.path.basename(config_path))[0]
+    out_dir = os.path.join(output_path, dataset_name.replace("/", "_"), run_name)
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+
+    model = build_model(config)
+    mesh = make_mesh()
+    print(
+        f"mesh: {mesh.shape} | devices: {len(jax.devices())} "
+        f"| batch/device: {batch_size // max(mesh.shape['data'],1)}",
+        flush=True,
+    )
+
+    dataset, convert_labels_to_prompts = load_dataset(
+        dataset_name, config=config, split="train"
+    )
+    batches = batch_iterator(dataset, batch_size, seed=seed)
+
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    params = model.init_params(init_rng)
+    n_params = sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+    print(f"score network parameters: {n_params/1e6:.2f}M", flush=True)
+
+    tx = build_optimizer(config)
+    ema_cfg = config.get("training")
+    use_ema = bool(ema_cfg and ema_cfg.get("ema_decay"))
+    state = create_train_state(params, tx, ema=use_ema)
+
+    start_step = 0
+    if resume_from:
+        state, start_step = checkpoints.restore_checkpoint(resume_from, state)
+        print(f"resumed from {resume_from} @ step {start_step}", flush=True)
+    elif load_model_weights_from_checkpoint:
+        loaded, _ = checkpoints.restore_checkpoint(
+            load_model_weights_from_checkpoint, state
+        )
+        state = state.replace(params=loaded.params)
+    # Restored arrays are committed to a single device; re-place the state
+    # replicated over the mesh so it composes with the data-sharded batch.
+    from xdiffusion_tpu.parallel.mesh import replicated
+
+    state = jax.device_put(state, replicated(mesh))
+
+    ema_decay = float(ema_cfg.get("ema_decay")) if use_ema else None
+    train_step = make_train_step(model, tx, mesh, ema_decay=ema_decay)
+
+    importance = model.importance_sampler()
+    host_importance = not importance.device_side
+
+    is_class_conditional = bool(
+        config.diffusion.score_network.params.is_class_conditional
+    )
+    uses_prompts = bool(model._context_preprocessors) and any(
+        type(p).__name__ != "IgnoreContextAdapter"
+        for p in model._context_preprocessors
+    )
+
+    logger = MetricsLogger(out_dir)
+    step_rng = jax.random.PRNGKey(seed + 1)
+    t_start = time.time()
+
+    for step in range(start_step, num_training_steps):
+        batch = next(batches)
+        device_batch: Dict = {"images": batch["images"]}
+        if is_class_conditional:
+            device_batch["classes"] = batch["classes"]
+        if uses_prompts:
+            ctx = model.preprocess_context(
+                {"text_prompts": convert_labels_to_prompts(batch["classes"])}
+            )
+            for k, v in ctx.items():
+                if isinstance(v, (np.ndarray, jnp.ndarray)):
+                    device_batch[k] = v
+        if host_importance:
+            t, w = importance.sample(batch_size)
+            device_batch["timesteps"] = t
+            device_batch["loss_weights"] = w
+
+        device_batch = shard_batch(device_batch, mesh)
+        state, metrics = train_step(state, device_batch, step_rng)
+
+        if host_importance:
+            importance.update_with_all_losses(
+                np.asarray(metrics["timesteps"]),
+                np.asarray(metrics["loss_per_example"]),
+            )
+
+        if step % 50 == 0 or step == num_training_steps - 1:
+            logger.log(
+                step,
+                {
+                    "loss": metrics["loss"],
+                    "mse_loss": metrics["mse_loss"],
+                    "vb_loss": metrics["vb_loss"],
+                    "grad_norm": metrics["grad_norm"],
+                },
+            )
+
+        if (step + 1) % save_and_sample_every_n == 0 or (
+            step + 1
+        ) == num_training_steps:
+            sample_and_save(
+                model,
+                state,
+                out_dir,
+                step + 1,
+                num_samples=num_samples,
+                guidance=sample_with_guidance,
+                is_class_conditional=is_class_conditional,
+            )
+            checkpoints.save_checkpoint(ckpt_dir, state, step + 1)
+            print(f"checkpoint + samples saved @ step {step+1}", flush=True)
+
+    wall = time.time() - t_start
+    steps_done = num_training_steps - start_step
+    print(
+        f"trained {steps_done} steps in {wall:.1f}s "
+        f"({steps_done/max(wall,1e-9):.2f} steps/s)",
+        flush=True,
+    )
+    logger.close()
+    return out_dir
+
+
+def sample_and_save(
+    model,
+    state,
+    out_dir: str,
+    step: int,
+    num_samples: int = 64,
+    guidance: bool = False,
+    is_class_conditional: bool = False,
+):
+    params = state.ema_params if state.ema_params is not None else state.params
+    context: Dict = {}
+    cfg_value = None
+    if is_class_conditional:
+        classes = np.arange(num_samples, dtype=np.int32) % 10
+        context["classes"] = jnp.asarray(classes)
+        if guidance:
+            cfg_value = float(model.classifier_free_guidance())
+    samples = model.sample(
+        params,
+        jax.random.PRNGKey(step),
+        num_samples=num_samples,
+        context=context,
+        classifier_free_guidance=cfg_value,
+    )
+    save_image_grid(
+        np.asarray(samples), os.path.join(out_dir, f"sample-{step}.png")
+    )
