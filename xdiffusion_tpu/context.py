@@ -65,14 +65,22 @@ class IgnoreInputPreprocessor:
 
 
 class UnconditionalTextPromptsAdapter:
-    """CFG adapter: replaces text prompts with empty strings (host-side)."""
+    """CFG adapter: empty-prompt conditioning.
+
+    Host-side (pre-tokenization) it blanks the prompt strings; device-side
+    (post-tokenization, inside the jitted loss) it zeroes the token ids —
+    the empty prompt tokenizes to all padding, so the two are equivalent.
+    """
 
     def __init__(self, **kwargs):
         pass
 
     def __call__(self, context: Dict, **kwargs) -> Dict:
         new_context = dict(context)
-        new_context["text_prompts"] = [""] * len(context["text_prompts"])
+        if "text_prompts" in context:
+            new_context["text_prompts"] = [""] * len(context["text_prompts"])
+        if "text_tokens" in context:
+            new_context["text_tokens"] = jnp.zeros_like(context["text_tokens"])
         return new_context
 
 
@@ -90,6 +98,31 @@ class UnconditionalClassesAdapter:
         new_context = dict(context)
         classes = context["classes"]
         new_context["classes"] = jnp.zeros_like(classes) + self._num_classes
+        return new_context
+
+
+class TextPromptsPreprocessor:
+    """Host-side: context["text_prompts"] (list[str]) -> context["text_tokens"]
+    (B, text_context_size) int32 via byte-BPE (reference: context.py:180-206).
+
+    Runs BEFORE jit so string signals never reach a traced program.
+    """
+
+    def __init__(self, text_context_size: int = 128, **kwargs):
+        self._text_context_size = int(text_context_size)
+        from xdiffusion_tpu.tokenizer import get_encoder
+
+        self._encoder = get_encoder()
+
+    def __call__(self, context: Dict, **kwargs) -> Dict:
+        if "text_prompts" not in context or "text_tokens" in context:
+            return context
+        new_context = dict(context)
+        tokens = self._encoder.tokenize(
+            context["text_prompts"], self._text_context_size
+        )
+        new_context["text_tokens"] = jnp.asarray(tokens)
+        new_context.pop("text_prompts")
         return new_context
 
 

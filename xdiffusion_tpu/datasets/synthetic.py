@@ -52,14 +52,18 @@ def generate_digits(
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, 10, size=num_samples).astype(np.int32)
     images = np.zeros((num_samples, image_size, image_size, 1), dtype=np.uint8)
+    # Upscale factors are jittered but capped so glyphs fit any canvas
+    # (glyph bitmaps are 7 rows x 5 cols).
+    fy_hi = max(2, min(4, image_size // 7 + 1))
+    fx_hi = max(2, min(4, image_size // 5 + 1))
     for i, lab in enumerate(labels):
         g = _glyph_array(int(lab))
-        # Upscale 5x7 -> ~(15-20)x(21-28) with jittered integer factors.
-        fy = int(rng.integers(2, 4))
-        fx = int(rng.integers(2, 4))
+        fy = int(rng.integers(1, fy_hi))
+        fx = int(rng.integers(1, fx_hi))
         big = np.kron(g, np.ones((fy, fx), dtype=np.float32))
         big = _smooth(big)
         big = np.clip(big * float(rng.uniform(0.75, 1.0)), 0.0, 1.0)
+        big = big[:image_size, :image_size]  # hard cap for tiny canvases
         h, w = big.shape
         max_y = image_size - h
         max_x = image_size - w

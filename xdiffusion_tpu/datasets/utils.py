@@ -32,6 +32,27 @@ def load_dataset(dataset_name: str, config=None, split: str = "train"):
             mnist.MNIST(split=split, image_size=image_size, invert=True),
             mnist.convert_labels_to_prompts,
         )
+    if dataset_name in ("video/moving_mnist", "video/moving_mnist_256"):
+        from xdiffusion_tpu.datasets import moving_mnist
+
+        size = 256 if dataset_name.endswith("256") else image_size
+        return (
+            moving_mnist.MovingMNIST(split=split, image_size=size),
+            moving_mnist.convert_labels_to_prompts,
+        )
+    if dataset_name in ("image/moving_mnist", "image/moving_mnist_inverted"):
+        # Image view of moving-mnist: single frames.
+        from xdiffusion_tpu.datasets import moving_mnist as mm
+
+        ds = mm.MovingMNIST(split=split, image_size=image_size)
+        frames = ds.videos[:, 0]  # (N, S, S, 1)
+        if dataset_name.endswith("inverted"):
+            frames = 255 - frames
+        image_ds = mnist.MNIST.__new__(mnist.MNIST)
+        image_ds.images = frames
+        image_ds.labels = ds.labels[:, 0]
+        image_ds.synthetic = ds.synthetic
+        return image_ds, mnist.convert_labels_to_prompts
     raise NotImplementedError(f"Dataset {dataset_name!r} not implemented yet.")
 
 

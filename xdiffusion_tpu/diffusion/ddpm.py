@@ -160,7 +160,20 @@ class GaussianDiffusion_DDPM:
         sn = diff.score_network.params
         s = sn.input_spatial_size
         spatial = [s[0], s[1]] if isinstance(s, list) else [s, s]
-        x = jnp.zeros((batch_size, spatial[0], spatial[1], sn.input_channels))
+        if "input_number_of_frames" in sn:
+            x = jnp.zeros(
+                (
+                    batch_size,
+                    sn.input_number_of_frames,
+                    spatial[0],
+                    spatial[1],
+                    sn.input_channels,
+                )
+            )
+        else:
+            x = jnp.zeros(
+                (batch_size, spatial[0], spatial[1], sn.input_channels)
+            )
         context: Dict[str, Any] = {}
         if self._noise_scheduler.continuous():
             context["timestep"] = jnp.zeros((batch_size,), dtype=jnp.float32)
@@ -169,6 +182,33 @@ class GaussianDiffusion_DDPM:
             context["timestep"] = jnp.zeros((batch_size,), dtype=jnp.int32)
         if sn.is_class_conditional:
             context["classes"] = jnp.zeros((batch_size,), dtype=jnp.int32)
+        if "text_tokens" in list(sn.conditioning.signals):
+            text_len = 128
+            for c in diff.get("context_preprocessing", []):
+                params = c.get("params", {}) or {}
+                if "text_context_size" in params:
+                    text_len = int(params["text_context_size"])
+            context["text_tokens"] = jnp.zeros(
+                (batch_size, text_len), dtype=jnp.int32
+            )
+        if "super_resolution" in self._config:
+            sr = self._config.super_resolution
+            context[sr.conditioning_key] = jnp.zeros(
+                (
+                    batch_size,
+                    sr.low_resolution_size,
+                    sr.low_resolution_size,
+                    sn.output_channels,
+                )
+            )
+            if self._noise_scheduler.continuous():
+                context["augmentation_timestep"] = jnp.zeros(
+                    (batch_size,), dtype=jnp.float32
+                )
+            else:
+                context["augmentation_timestep"] = jnp.zeros(
+                    (batch_size,), dtype=jnp.int32
+                )
         return x, context
 
     def init_params(self, rng: jax.Array, batch_size: int = 2):
@@ -250,6 +290,12 @@ class GaussianDiffusion_DDPM:
         epsilon = jax.random.normal(rng_eps, z_0.shape, dtype=z_0.dtype)
         x_t = self._noise_scheduler.q_sample(x_start=z_0, t=t, noise=epsilon)
 
+        # Masked video diffusion (FDM/OpenSora): conditioned frames keep
+        # their clean values (mask True = generate; reference ddpm.py:217).
+        if "video_mask" in context:
+            mask = context["video_mask"][:, : x_t.shape[1], None, None, None]
+            x_t = jnp.where(mask, x_t, z_0)
+
         # Training-time CFG: drop conditioning signals to their
         # unconditional values with the configured probability.
         if (
@@ -266,6 +312,7 @@ class GaussianDiffusion_DDPM:
                 m = mask.reshape((b,) + (1,) * (cond_sig.ndim - 1))
                 context[key] = jnp.where(m, uncond_sig, cond_sig)
 
+        context["preprocessor_rng"] = jax.random.fold_in(rng_drop, 7)
         x_in = self.process_input(x_t, context)
         model_output = self.predict_score(
             params, x_in, context, deterministic=False, rng=rng_drop
@@ -318,6 +365,96 @@ class GaussianDiffusion_DDPM:
             "loss_per_example": jax.lax.stop_gradient(mse_loss + vb_loss),
         }
         return total.mean(), metrics
+
+    def distillation_loss_on_batch(
+        self,
+        params,
+        teacher_params,
+        rng: jax.Array,
+        images: jax.Array,
+        context: Dict,
+        N: int,
+        teacher_process: Optional["GaussianDiffusion_DDPM"] = None,
+    ) -> Tuple[jax.Array, Dict]:
+        """Progressive distillation (Salimans & Ho 2022): the student learns
+        to match TWO teacher DDIM steps with one step. v-param continuous
+        schedulers only (reference ddpm.py:338-542). N may be traced."""
+        teacher_process = teacher_process or self
+        sched = self._noise_scheduler
+        assert sched.continuous(), "distillation requires a continuous scheduler"
+        b = images.shape[0]
+        context = dict(context)
+        rng_t, rng_eps = jax.random.split(rng)
+
+        x_0 = normalize_to_neg_one_to_one(images)
+        t = jax.random.randint(rng_t, (b,), 0, N).astype(jnp.float32) / N
+        logsnr = sched.logsnr(t)
+        context["logsnr_t"] = logsnr
+        context["timestep"] = t
+
+        epsilon = jax.random.normal(rng_eps, x_0.shape)
+        z_t = sched.q_sample(x_start=x_0, t=t, noise=epsilon)
+
+        def expand(v):
+            return v.reshape((-1,) + (1,) * (z_t.ndim - 1))
+
+        # Teacher DDIM step 1: t -> t - 0.5/N.
+        teacher_v = jax.lax.stop_gradient(
+            teacher_process.predict_score(teacher_params, z_t, context)
+        )
+        x_pred = sched.predict_x_from_v(z=z_t, v=teacher_v, context=context)
+        eps_pred = sched.predict_epsilon_from_x(z=z_t, x=x_pred, context=context)
+
+        u_mid = t - 0.5 / N
+        logsnr_mid = sched.logsnr(u_mid)
+        a_mid = expand(jnp.sqrt(jax.nn.sigmoid(logsnr_mid)))
+        stdv_mid = expand(jnp.sqrt(jax.nn.sigmoid(-logsnr_mid)))
+        z_mid = a_mid * x_pred + stdv_mid * eps_pred
+
+        # Teacher DDIM step 2: t - 0.5/N -> t - 1/N.
+        ctx_mid = dict(context)
+        ctx_mid["logsnr_t"] = logsnr_mid
+        ctx_mid["timestep"] = u_mid
+        teacher_v2 = jax.lax.stop_gradient(
+            teacher_process.predict_score(teacher_params, z_mid, ctx_mid)
+        )
+        x_pred = sched.predict_x_from_v(z=z_t, v=teacher_v2, context=context)
+        eps_pred = sched.predict_epsilon_from_x(z=z_t, x=x_pred, context=context)
+
+        u_s = t - 1.0 / N
+        logsnr_s = sched.logsnr(u_s)
+        a_s = expand(jnp.sqrt(jax.nn.sigmoid(logsnr_s)))
+        stdv_s = expand(jnp.sqrt(jax.nn.sigmoid(-logsnr_s)))
+        z_teacher = a_s * x_pred + stdv_s * eps_pred
+
+        # x-target implied by z_teacher (!= x_pred).
+        a_t = expand(jnp.sqrt(jax.nn.sigmoid(logsnr)))
+        stdv_frac = expand(
+            jnp.exp(
+                0.5 * (jax.nn.softplus(logsnr) - jax.nn.softplus(logsnr_s))
+            )
+        )
+        x_target = (z_teacher - stdv_frac * z_t) / (a_s - stdv_frac * a_t)
+        x_target = jnp.where(expand(t == 0), x_pred, x_target)
+        eps_target = sched.predict_epsilon_from_x(
+            z=z_t, x=x_target, context=context
+        )
+
+        # Student one-step prediction; SNR weighting => epsilon MSE.
+        model_v = self.predict_score(params, z_t, context)
+        model_x = sched.predict_x_from_v(z=z_t, v=model_v, context=context)
+        model_eps = sched.predict_epsilon_from_x(
+            z=z_t, x=model_x, context=context
+        )
+        loss_per = mean_flat((model_eps - eps_target) ** 2)
+        loss = loss_per.mean()
+        return loss, {
+            "loss": loss,
+            "mse_loss": loss,
+            "vb_loss": jnp.zeros(()),
+            "timesteps": t,
+            "loss_per_example": jax.lax.stop_gradient(loss_per),
+        }
 
     def _vb_bits_per_dim(
         self, epsilon_v_param, x_0, x_t, context: Dict, clip_denoised: bool
@@ -408,6 +545,12 @@ class GaussianDiffusion_DDPM:
         arrays); everything after is on-device.
         """
         context = dict(context or {})
+        # Cascade stages with fixed sampling-time conditioning augmentation
+        # (reference ddpm.py:612-618).
+        if "super_resolution" in self._config:
+            sr = self._config.super_resolution
+            if "sampling_augmentation_level" in sr:
+                context["augmentation_level"] = sr.sampling_augmentation_level
         steps = (
             num_sampling_steps
             if num_sampling_steps is not None

@@ -63,16 +63,24 @@ def build_sample_loop(
             x, key = carry
             key, step_key = jax.random.split(key)
             ctx = dict(context)
+            ctx["preprocessor_rng"] = jax.random.fold_in(step_key, 3)
             uctx = (
                 dict(unconditional_context)
                 if unconditional_context is not None
                 else None
             )
+            if uctx is not None:
+                uctx["preprocessor_rng"] = ctx["preprocessor_rng"]
             for k, v in per_step.items():
                 val = jnp.broadcast_to(v, (batch,)) if k in _BATCHED_KEYS else v
                 ctx[k] = val
                 if uctx is not None:
                     uctx[k] = val
+            # Video conditioning splice: observed frames stay pinned to the
+            # conditioning x0 (reference ddpm.py:963-982).
+            if "video_mask" in ctx and "x0" in ctx:
+                mask = ctx["video_mask"][:, : x.shape[1], None, None, None]
+                x = jnp.where(mask, x, ctx["x0"])
             x = sampler.p_sample(
                 x,
                 ctx,
@@ -83,6 +91,9 @@ def build_sample_loop(
                 classifier_free_guidance=classifier_free_guidance,
                 guidance_fn=guidance_fn,
             )
+            if "video_mask" in ctx and "x0" in ctx:
+                mask = ctx["video_mask"][:, : x.shape[1], None, None, None]
+                x = jnp.where(mask, x, ctx["x0"])
             return (x, key), None
 
         (x_0, _), _ = jax.lax.scan(body, (x_t, rng), step_ctx)

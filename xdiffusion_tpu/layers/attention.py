@@ -36,6 +36,9 @@ class SpatialCrossAttention(nn.Module):
     dropout: float = 0.0
     is_causal: bool = False
     context_key: str = "text_embeddings"
+    # Optional {target:, params:} block selecting which context signal
+    # feeds the encoder kv (reference: attention.py:80-84).
+    context_adapter: Optional[dict] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -68,7 +71,14 @@ class SpatialCrossAttention(nn.Module):
 
         context_dim = None if self.context_dim in (None, -1) else self.context_dim
         if context_dim is not None and context is not None:
-            enc = context[self.context_key]  # (B, L, context_dim)
+            if self.context_adapter and "target" in self.context_adapter:
+                from xdiffusion_tpu.config import instantiate_from_config
+
+                adapter = instantiate_from_config(dict(self.context_adapter))
+                enc = adapter(context)
+            else:
+                enc = context.get(self.context_key, context.get("context_embedding"))
+            assert enc is not None, "cross-attention needs a context sequence"
             enc_kv = nn.Dense(2 * c, dtype=self.dtype, name="encoder_kv")(enc)
             ek, ev = jnp.split(enc_kv, 2, axis=-1)
             k = jnp.concatenate([to_heads(ek, enc.shape[1]), k], axis=2)
@@ -82,6 +92,78 @@ class SpatialCrossAttention(nn.Module):
         if self.dropout > 0.0:
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return x + out.reshape(b, h, w, c)
+
+
+class TemporalSelfAttention(nn.Module):
+    """Self attention over the frame axis of a (B, F, H, W, C) video map.
+
+    Counterpart of the reference TemporalSelfAttention
+    (layers/attention.py:383-490): spatial positions are folded into the
+    batch, frames attend to each other with a learned per-head relative
+    position bias (tensor2tensor style), zero-init output projection.
+    """
+
+    in_channels: int
+    temporal_sequence_length: int = 16
+    max_relative_position: int = 16
+    context_dim: Optional[int] = None
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, context: Optional[Dict] = None, deterministic: bool = True
+    ) -> jax.Array:
+        b, f, h, w, c = x.shape
+        assert c == self.in_channels
+        if self.dim_head == -1:
+            num_heads = self.heads
+        else:
+            assert c % self.dim_head == 0
+            num_heads = c // self.dim_head
+        head_dim = c // num_heads
+
+        groups = 32 if c % 32 == 0 else max(1, c // 4)
+        hidden = nn.GroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(x)
+        # Fold spatial into batch: (B*H*W, F, C).
+        hidden = hidden.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(hidden)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        to_heads = lambda t: t.reshape(
+            b * h * w, f, num_heads, head_dim
+        ).transpose(0, 2, 1, 3)
+        q, k, v = to_heads(q), to_heads(k), to_heads(v)
+
+        # Learned relative-position bias over frame offsets.
+        max_rel = self.max_relative_position
+        bias_table = self.param(
+            "rel_pos_bias",
+            nn.initializers.normal(stddev=0.02),
+            (num_heads, 2 * max_rel - 1),
+        )
+        idx = jnp.arange(f)
+        rel = jnp.clip(idx[:, None] - idx[None, :], -(max_rel - 1), max_rel - 1)
+        rel = rel + (max_rel - 1)  # (F, F) in [0, 2*max_rel-2]
+        bias = bias_table[:, rel]  # (H, F, F)
+
+        scale = head_dim**-0.5
+        logits = (
+            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+            * scale
+        )
+        logits = logits + bias[None].astype(jnp.float32)
+        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b * h * w, f, c)
+        out = nn.Dense(
+            c, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="proj_out"
+        )(out)
+        if self.dropout > 0.0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = out.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
+        return x + out
 
 
 class MultiHeadSelfAttention(nn.Module):

@@ -99,6 +99,22 @@ class LabelEmbeddingProjection(nn.Module):
         return table(classes.astype(jnp.int32))
 
 
+class TextTokenProjection(nn.Module):
+    """Token-id -> embedding table (reference: embedding.py:190-199)."""
+
+    token_vocabulary_size: int
+    width: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array, context: Dict = None) -> jax.Array:
+        table = nn.Embed(
+            self.token_vocabulary_size, self.width, dtype=self.dtype,
+            name="embed",
+        )
+        return table(tokens.astype(jnp.int32))
+
+
 class DiTTimestepEmbedding(nn.Module):
     """DiT timestep embedder: sinusoidal features -> SiLU MLP
     (reference: embedding.py:325-343)."""

@@ -70,9 +70,16 @@ def predict_epsilon(
             variance = jnp.exp(log_variance)
         else:
             pred = out
-            variance, log_variance = process.noise_scheduler().variance_fixed_large(
-                ctx, out.shape
-            )
+            sched = process.noise_scheduler()
+            if hasattr(sched, "variance_fixed_large"):
+                variance, log_variance = sched.variance_fixed_large(
+                    ctx, out.shape
+                )
+            else:
+                # ODE-style processes (rectified flow) have no reverse
+                # variance; samplers that need one don't reach here.
+                variance = jnp.zeros_like(pred)
+                log_variance = jnp.zeros_like(pred)
         return pred, variance, log_variance
 
     if cfg is None or cfg < 0.0 or unconditional_context is None:

