@@ -1,0 +1,139 @@
+"""VAE training losses: PatchGAN discriminator + reconstruction/KL
+objective.
+
+Behavioral counterpart of /root/reference/xdiffusion/autoencoders/
+losses.py:15-776 (LDM's LPIPSWithDiscriminator): pixel L1 + learned-logvar
+NLL + KL + adversarial term with a hinge/vanilla PatchGAN. Differences in
+this rebuild, both offline-driven:
+
+- the perceptual (LPIPS/VGG) term requires pretrained VGG weights; with
+  none available it contributes 0 (reference MNIST-scale VAE configs train
+  fine without it);
+- the adaptive generator/discriminator weight (grad-norm ratio at the
+  decoder's last layer) is replaced by the configured fixed disc_weight.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def hinge_d_loss(logits_real: jax.Array, logits_fake: jax.Array) -> jax.Array:
+    loss_real = jnp.mean(nn.relu(1.0 - logits_real))
+    loss_fake = jnp.mean(nn.relu(1.0 + logits_fake))
+    return 0.5 * (loss_real + loss_fake)
+
+
+def vanilla_d_loss(logits_real: jax.Array, logits_fake: jax.Array) -> jax.Array:
+    return 0.5 * (
+        jnp.mean(jax.nn.softplus(-logits_real))
+        + jnp.mean(jax.nn.softplus(logits_fake))
+    )
+
+
+class NLayerDiscriminator(nn.Module):
+    """PatchGAN discriminator (reference: losses.py:300-370). GroupNorm in
+    place of BatchNorm keeps the step stateless/jit-pure."""
+
+    input_nc: int = 3
+    ndf: int = 64
+    n_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.Conv(self.ndf, (4, 4), strides=(2, 2), name="conv_in")(x)
+        h = nn.leaky_relu(h, 0.2)
+        nf = self.ndf
+        for n in range(1, self.n_layers):
+            nf = min(self.ndf * (2**n), self.ndf * 8)
+            h = nn.Conv(nf, (4, 4), strides=(2, 2), use_bias=False,
+                        name=f"conv_{n}")(h)
+            h = nn.GroupNorm(
+                num_groups=32 if nf % 32 == 0 else max(1, nf // 4),
+                name=f"norm_{n}",
+            )(h)
+            h = nn.leaky_relu(h, 0.2)
+        nf = min(self.ndf * (2**self.n_layers), self.ndf * 8)
+        h = nn.Conv(nf, (4, 4), use_bias=False, name="conv_last")(h)
+        h = nn.GroupNorm(
+            num_groups=32 if nf % 32 == 0 else max(1, nf // 4), name="norm_last"
+        )(h)
+        h = nn.leaky_relu(h, 0.2)
+        return nn.Conv(1, (4, 4), name="conv_out")(h)
+
+
+class LPIPSWithDiscriminator(nn.Module):
+    """Two-phase VAE-GAN loss: optimizer_idx 0 trains the autoencoder
+    (rec NLL / exp(logvar) + kl_weight*KL + disc_weight*G-loss, gated by
+    disc_start), idx 1 trains the discriminator."""
+
+    disc_start: int = 0
+    kl_weight: float = 1e-6
+    disc_weight: float = 0.5
+    perceptual_weight: float = 0.0
+    disc_factor: float = 1.0
+    logvar_init: float = 0.0
+    disc_in_channels: int = 3
+    disc_num_layers: int = 3
+    disc_loss: str = "hinge"
+    pixelloss_weight: float = 1.0
+
+    def setup(self):
+        assert self.disc_loss in ("hinge", "vanilla")
+        self.logvar = self.param(
+            "logvar", lambda key: jnp.full((), self.logvar_init)
+        )
+        self.discriminator = NLayerDiscriminator(
+            input_nc=self.disc_in_channels,
+            ndf=64,
+            n_layers=self.disc_num_layers,
+        )
+
+    def __call__(
+        self,
+        inputs: jax.Array,
+        reconstructions: jax.Array,
+        posterior,
+        optimizer_idx: int,
+        global_step: jax.Array,
+    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        rec_loss = self.pixelloss_weight * jnp.abs(inputs - reconstructions)
+        # (perceptual term omitted offline; see module docstring)
+        nll = rec_loss / jnp.exp(self.logvar) + self.logvar
+        nll_loss = jnp.sum(nll) / nll.shape[0]
+        kl_loss = jnp.mean(posterior.kl())
+
+        d_fn = hinge_d_loss if self.disc_loss == "hinge" else vanilla_d_loss
+        disc_on = jnp.where(global_step >= self.disc_start, self.disc_factor, 0.0)
+
+        if optimizer_idx == 0:
+            logits_fake = self.discriminator(reconstructions)
+            g_loss = -jnp.mean(logits_fake)
+            loss = (
+                nll_loss
+                + self.kl_weight * kl_loss
+                + disc_on * self.disc_weight * g_loss
+            )
+            return loss, {
+                "total_loss": loss,
+                "nll_loss": nll_loss,
+                "kl_loss": kl_loss,
+                "g_loss": g_loss,
+                "logvar": self.logvar,
+            }
+
+        # optimizer_idx == 1: discriminator sees detached reconstructions.
+        logits_real = self.discriminator(jax.lax.stop_gradient(inputs))
+        logits_fake = self.discriminator(
+            jax.lax.stop_gradient(reconstructions)
+        )
+        d_loss = disc_on * d_fn(logits_real, logits_fake)
+        return d_loss, {
+            "disc_loss": d_loss,
+            "logits_real": jnp.mean(logits_real),
+            "logits_fake": jnp.mean(logits_fake),
+        }

@@ -53,7 +53,85 @@ def load_dataset(dataset_name: str, config=None, split: str = "train"):
         image_ds.labels = ds.labels[:, 0]
         image_ds.synthetic = ds.synthetic
         return image_ds, mnist.convert_labels_to_prompts
+    if dataset_name in ("audio/urbansound8k", "urbansound8k"):
+        from xdiffusion_tpu.datasets import urbansound8k
+
+        return (
+            urbansound8k.UrbanSound8k(split=split, image_size=image_size),
+            urbansound8k.convert_labels_to_prompts,
+        )
+    if dataset_name == "image/cifar10":
+        return (
+            mnist_cifar10(split, image_size),
+            cifar10_prompts,
+        )
     raise NotImplementedError(f"Dataset {dataset_name!r} not implemented yet.")
+
+
+_CIFAR_CLASSES = [
+    ["airplane", "plane"],
+    ["automobile", "car"],
+    ["bird", "bird"],
+    ["cat", "cat"],
+    ["deer", "deer"],
+    ["dog", "dog"],
+    ["frog", "frog"],
+    ["horse", "horse"],
+    ["ship", "ship"],
+    ["truck", "truck"],
+]
+
+
+def cifar10_prompts(labels):
+    rng = np.random.default_rng()
+    picks = rng.integers(0, 2, size=len(labels))
+    return [_CIFAR_CLASSES[int(l)][int(p)] for l, p in zip(labels, picks)]
+
+
+def mnist_cifar10(split: str, image_size: int):
+    """CIFAR-10 from pickled batches if present, else a synthetic RGB
+    stand-in (colored digit glyphs) with the same shape/classes."""
+    import os
+    import pickle
+
+    from xdiffusion_tpu.datasets import mnist as mnist_mod
+
+    base = os.path.join(mnist_mod.data_root(), "cifar-10-batches-py")
+    ds = mnist_mod.MNIST.__new__(mnist_mod.MNIST)
+    if os.path.isdir(base):
+        files = (
+            [f"data_batch_{i}" for i in range(1, 6)]
+            if split == "train"
+            else ["test_batch"]
+        )
+        images, labels = [], []
+        for name in files:
+            with open(os.path.join(base, name), "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            images.append(
+                d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+            )
+            labels.append(np.asarray(d[b"labels"], dtype=np.int32))
+        ds.images = np.concatenate(images)
+        ds.labels = np.concatenate(labels)
+        ds.synthetic = False
+    else:
+        from xdiffusion_tpu.datasets.synthetic import generate_digits
+
+        grey, labels = generate_digits(
+            10000 if split == "train" else 1000,
+            seed=2 if split == "train" else 3,
+            image_size=32,
+        )
+        rng = np.random.default_rng(4)
+        colors = rng.uniform(0.4, 1.0, size=(grey.shape[0], 1, 1, 3))
+        ds.images = (grey.astype(np.float32) * colors).astype(np.uint8)
+        ds.labels = labels
+        ds.synthetic = True
+    if image_size != 32:
+        ds.images = mnist_mod._resize_bilinear(ds.images, image_size)
+    ds.num_classes = 10
+    return ds
 
 
 def batch_iterator(

@@ -114,7 +114,19 @@ class GaussianDiffusion_DDPM:
             instantiate_from_config(sde_cfg.to_dict()) if sde_cfg is not None else None
         )
 
-        self._latent_encoder = None  # latent diffusion arrives with the VAEs
+        # Latent diffusion: optional frozen VAE. Its parameters are loaded
+        # from a checkpoint by the trainer (set_latent_encoder_params) and
+        # closed over by the jitted programs as constants; the latent scale
+        # factor (reference ddpm.py:166-189 computes 1/std on first batch)
+        # is an explicit init step here (compute_latent_scale).
+        le_cfg = diff.get("latent_encoder")
+        self._latent_encoder = (
+            instantiate_from_config(le_cfg.to_dict(), use_config_struct=True)
+            if le_cfg is not None
+            else None
+        )
+        self._latent_encoder_params = None
+        self._latent_scale_factor: Optional[float] = None
         self._extra_samplers: Dict[Any, Any] = {}
 
     # -- protocol accessors (reference DiffusionModel interface) ----------
@@ -149,6 +161,34 @@ class GaussianDiffusion_DDPM:
     def dynamic_thresholding_config(self):
         diff = self._config.diffusion
         return diff.get("dynamic_thresholding")
+
+    # -- latent diffusion ----------------------------------------------------
+
+    def latent_encoder(self):
+        return self._latent_encoder
+
+    def set_latent_encoder_params(self, params) -> None:
+        self._latent_encoder_params = params
+        self._sample_fn_cache_clear()
+
+    def compute_latent_scale(self, images: jax.Array, rng: jax.Array) -> float:
+        """scale = 1 / std(z0) over a representative batch
+        (reference ddpm.py:171-176, made an explicit init step)."""
+        assert self._latent_encoder is not None
+        z = self._latent_encoder.encode_to_latents(
+            self._latent_encoder_params, images, rng
+        )
+        self._latent_scale_factor = float(1.0 / jnp.std(z))
+        self._sample_fn_cache_clear()
+        return self._latent_scale_factor
+
+    def set_latent_scale(self, scale: float) -> None:
+        self._latent_scale_factor = float(scale)
+        self._sample_fn_cache_clear()
+
+    def _sample_fn_cache_clear(self):
+        if hasattr(self, "_cached_sample_fn"):
+            self._cached_sample_fn.cache_clear()
 
     # -- parameters --------------------------------------------------------
 
@@ -271,8 +311,17 @@ class GaussianDiffusion_DDPM:
         context = dict(context)
         rng_t, rng_eps, rng_cfg, rng_drop = jax.random.split(rng, 4)
 
-        x_0 = normalize_to_neg_one_to_one(images)
-        z_0 = x_0  # latent encoding hooks in here once VAEs land
+        if self._latent_encoder is not None:
+            assert self._latent_scale_factor is not None, (
+                "call compute_latent_scale()/set_latent_scale() before training"
+            )
+            rng, rng_enc = jax.random.split(rng)
+            z_0 = self._latent_encoder.encode_to_latents(
+                self._latent_encoder_params, images, rng_enc
+            )
+            z_0 = z_0 * self._latent_scale_factor
+        else:
+            z_0 = normalize_to_neg_one_to_one(images)
 
         if timesteps is not None:
             t = timesteps
@@ -525,8 +574,23 @@ class GaussianDiffusion_DDPM:
             num_sampling_steps=num_steps,
             sampler=sampler,
             classifier_free_guidance=cfg,
+            unnormalize=self._latent_encoder is None,
         )
-        return jax.jit(fn)
+        if self._latent_encoder is None:
+            return jax.jit(fn)
+
+        le = self._latent_encoder
+        le_params = self._latent_encoder_params
+        scale = self._latent_scale_factor
+
+        def fn_with_decode(params, rng, context, uncond, initial_noise):
+            latents = fn(params, rng, context, uncond, initial_noise)
+            decoded = le.decode_from_latents(le_params, latents / scale)
+            from xdiffusion_tpu.utils import unnormalize_to_zero_to_one
+
+            return unnormalize_to_zero_to_one(decoded)
+
+        return jax.jit(fn_with_decode)
 
     def sample(
         self,

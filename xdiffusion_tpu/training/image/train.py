@@ -71,6 +71,7 @@ def train(
     sample_with_guidance: bool = False,
     resume_from: Optional[str] = None,
     load_model_weights_from_checkpoint: Optional[str] = None,
+    vae_checkpoint: Optional[str] = None,
     seed: int = 0,
     mixed_precision: str = "",
     num_samples: int = 64,
@@ -104,6 +105,34 @@ def train(
         dataset_name, config=config, split="train"
     )
     batches = batch_iterator(dataset, batch_size, seed=seed)
+
+    # Latent diffusion: load the frozen VAE and fix the latent scale from a
+    # representative batch (explicit init of reference ddpm.py:171-176).
+    if getattr(model, "latent_encoder", lambda: None)() is not None:
+        vae = model.latent_encoder()
+        vae_params = vae.init_params(jax.random.PRNGKey(seed + 7))
+        if vae_checkpoint:
+            import optax
+
+            from xdiffusion_tpu.training.image.autoencoder import VAETrainState
+
+            vae_state = VAETrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=vae_params,
+                opt_ae=optax.adam(1e-4).init(vae_params["ae"]),
+                opt_disc=optax.adam(1e-4).init(vae_params["disc"]),
+            )
+            vae_state, _ = checkpoints.restore_checkpoint(
+                vae_checkpoint, vae_state
+            )
+            vae_params = vae_state.params
+            print(f"loaded frozen VAE from {vae_checkpoint}", flush=True)
+        model.set_latent_encoder_params(vae_params)
+        first = next(batches)
+        scale = model.compute_latent_scale(
+            jnp.asarray(first["images"]), jax.random.PRNGKey(seed + 8)
+        )
+        print(f"latent scale factor: {scale:.4f}", flush=True)
 
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
