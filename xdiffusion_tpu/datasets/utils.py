@@ -53,6 +53,13 @@ def load_dataset(dataset_name: str, config=None, split: str = "train"):
         image_ds.labels = ds.labels[:, 0]
         image_ds.synthetic = ds.synthetic
         return image_ds, mnist.convert_labels_to_prompts
+    if dataset_name == "image/mnist_embedded_gemma_2":
+        from xdiffusion_tpu.datasets import mnist_embedded_gemma_2 as mg
+
+        return (
+            mg.MNISTEmbeddedGemma2(split=split, image_size=image_size),
+            mg.convert_labels_to_prompts,
+        )
     if dataset_name in ("audio/urbansound8k", "urbansound8k"):
         from xdiffusion_tpu.datasets import urbansound8k
 

@@ -282,7 +282,30 @@ class GaussianDiffusion_DDPM:
         handing the context to a jitted program."""
         for preprocessor in self._context_preprocessors:
             context = preprocessor(context)
+        # Score networks may declare a host-side prompt tokenizer in their
+        # projection dict (e.g. T5TextPromptsToTokens); strings must resolve
+        # to arrays here, outside the traced program.
+        if "text_prompts" in context:
+            proj = self._host_prompt_projection()
+            if proj is not None:
+                context = dict(context)
+                context["text_tokens"] = proj(context["text_prompts"])
+                context.pop("text_prompts")
         return context
+
+    def _host_prompt_projection(self):
+        if not hasattr(self, "_host_prompt_proj_cache"):
+            self._host_prompt_proj_cache = None
+            cond = self._config.diffusion.score_network.params.get("conditioning")
+            if cond is not None and "projections" in cond:
+                projs = cond.projections
+                if "text_prompts" in projs:
+                    candidate = instantiate_from_config(
+                        projs["text_prompts"].to_dict()
+                    )
+                    if getattr(candidate, "host_side", False):
+                        self._host_prompt_proj_cache = candidate
+        return self._host_prompt_proj_cache
 
     def unconditional_context(self, context: Dict) -> Optional[Dict]:
         if self._unconditional_context_adapter is None:
@@ -629,6 +652,20 @@ class GaussianDiffusion_DDPM:
                     unconditional_context
                 )
         context = self.preprocess_context(context)
+
+        # Strip any unresolved host-only signals (prompt strings survive
+        # when several embedders each consume them without popping).
+        def sanitize(ctx):
+            if ctx is None:
+                return None
+            return {
+                k: v
+                for k, v in ctx.items()
+                if not isinstance(v, (str, list, tuple)) or k == "shape"
+            }
+
+        context = sanitize(context)
+        unconditional_context = sanitize(unconditional_context)
 
         sampler_key = None
         if sampler is not None:

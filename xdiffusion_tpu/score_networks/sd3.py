@@ -1,0 +1,212 @@
+"""SD3 MMDiT: dual-stream multimodal diffusion transformer.
+
+Config-compatible counterpart of /root/reference/xdiffusion/
+score_networks/sd3.py:11-170 + layers/sd3.py ("Scaling Rectified Flow
+Transformers...", arXiv:2403.03206): image patches and text embeddings
+run as two streams with separate adaLN-Zero modulation and weights, joined
+at every block through ONE attention over the concatenated token sequence
+(joint attention). Conditioning = timestep embedding + pooled text
+projection; the final block drops the text stream.
+
+TPU note: joint attention concatenates streams on the sequence axis so the
+MXU sees a single large attention instead of two small ones per block.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from xdiffusion_tpu.config import DotConfig
+from xdiffusion_tpu.layers.embedding import (
+    PatchEmbed,
+    sincos_position_embedding_2d,
+    sinusoidal_embedding,
+)
+from xdiffusion_tpu.ops import dot_product_attention
+
+
+def _modulate(x, shift, scale):
+    return x * (1.0 + scale[:, None]) + shift[:, None]
+
+
+class TimestepTextEmbed(nn.Module):
+    """temb = MLP(sinusoidal(t)) + MLP(pooled_text)."""
+
+    embedding_dim: int
+    pooled_projection_dim: int
+
+    @nn.compact
+    def __call__(self, timestep: jax.Array, pooled: jax.Array) -> jax.Array:
+        t = sinusoidal_embedding(timestep.astype(jnp.float32), 256)
+        t = nn.Dense(self.embedding_dim, name="t_fc1")(t)
+        t = nn.Dense(self.embedding_dim, name="t_fc2")(nn.silu(t))
+        p = nn.Dense(self.embedding_dim, name="p_fc1")(pooled)
+        p = nn.Dense(self.embedding_dim, name="p_fc2")(nn.silu(p))
+        return t + p
+
+
+class MMDiTBlock(nn.Module):
+    """Dual-stream block with joint attention (reference: layers/sd3.py:8).
+
+    context_pre_only: final block — the text stream only feeds attention
+    and produces no output stream.
+    """
+
+    dim: int
+    num_heads: int
+    context_pre_only: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # (B, N, D) image stream
+        c: jax.Array,  # (B, L, D) text stream
+        temb: jax.Array,  # (B, D)
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        b, n, d = x.shape
+        l = c.shape[1]
+        head_dim = d // self.num_heads
+
+        mod_x = nn.Dense(
+            6 * d, kernel_init=nn.initializers.zeros, name="mod_x"
+        )(nn.silu(temb))
+        (sx1, scx1, gx1, sx2, scx2, gx2) = jnp.split(mod_x, 6, axis=-1)
+        n_ctx_signals = 2 if self.context_pre_only else 6
+        mod_c = nn.Dense(
+            n_ctx_signals * d, kernel_init=nn.initializers.zeros, name="mod_c"
+        )(nn.silu(temb))
+        mc = jnp.split(mod_c, n_ctx_signals, axis=-1)
+
+        # Per-stream qkv over modulated inputs.
+        xh = _modulate(nn.LayerNorm(use_bias=False, use_scale=False,
+                                    name="norm_x1")(x), sx1, scx1)
+        ch = _modulate(nn.LayerNorm(use_bias=False, use_scale=False,
+                                    name="norm_c1")(c), mc[0], mc[1])
+        qkv_x = nn.Dense(3 * d, dtype=self.dtype, name="qkv_x")(xh)
+        qkv_c = nn.Dense(3 * d, dtype=self.dtype, name="qkv_c")(ch)
+        to_heads = lambda t, length: t.reshape(
+            b, length, self.num_heads, head_dim
+        ).transpose(0, 2, 1, 3)
+        qx, kx, vx = (to_heads(t, n) for t in jnp.split(qkv_x, 3, axis=-1))
+        qc, kc, vc = (to_heads(t, l) for t in jnp.split(qkv_c, 3, axis=-1))
+
+        # Joint attention over [text; image] tokens.
+        q = jnp.concatenate([qc, qx], axis=2)
+        k = jnp.concatenate([kc, kx], axis=2)
+        v = jnp.concatenate([vc, vx], axis=2)
+        out = dot_product_attention(q, k, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l + n, d)
+        out_c, out_x = out[:, :l], out[:, l:]
+
+        x = x + gx1[:, None] * nn.Dense(d, dtype=self.dtype, name="proj_x")(out_x)
+        xh = _modulate(nn.LayerNorm(use_bias=False, use_scale=False,
+                                    name="norm_x2")(x), sx2, scx2)
+        mlp = nn.Dense(4 * d, dtype=self.dtype, name="mlp_x1")(xh)
+        mlp = nn.Dense(d, dtype=self.dtype, name="mlp_x2")(
+            nn.gelu(mlp, approximate=True)
+        )
+        x = x + gx2[:, None] * mlp
+
+        if self.context_pre_only:
+            return x, None
+
+        c = c + mc[2][:, None] * nn.Dense(d, dtype=self.dtype, name="proj_c")(out_c)
+        ch = _modulate(nn.LayerNorm(use_bias=False, use_scale=False,
+                                    name="norm_c2")(c), mc[3], mc[4])
+        mlp_c = nn.Dense(4 * d, dtype=self.dtype, name="mlp_c1")(ch)
+        mlp_c = nn.Dense(d, dtype=self.dtype, name="mlp_c2")(
+            nn.gelu(mlp_c, approximate=True)
+        )
+        c = c + mc[5][:, None] * mlp_c
+        return x, c
+
+
+class SD3Transformer2DModel(nn.Module):
+    """Instantiated with the score_network params block as a DotConfig."""
+
+    config: Any
+
+    def setup(self):
+        cfg = self.config
+        self._patch_size = int(cfg.patch_size)
+        self._dim = int(cfg.num_attention_heads) * int(cfg.attention_head_dim)
+        self._num_heads = int(cfg.num_attention_heads)
+        self._is_learned_sigma = bool(cfg.get("is_learned_sigma", False))
+        self._out_channels = (
+            int(cfg.in_channels) * 2
+            if self._is_learned_sigma
+            else int(cfg.out_channels)
+        )
+        self._sample_size = int(cfg.sample_size)
+
+        self._patch_embed = PatchEmbed(
+            patch_size=self._patch_size, embed_dim=self._dim, name="pos_embed"
+        )
+        grid = self._sample_size // self._patch_size
+        self._pos_table = sincos_position_embedding_2d(self._dim, grid, grid)
+        self._time_text_embed = TimestepTextEmbed(
+            embedding_dim=self._dim,
+            pooled_projection_dim=int(cfg.pooled_projection_dim),
+            name="time_text_embed",
+        )
+        self._context_embedder = nn.Dense(self._dim, name="context_embedder")
+        n_layers = int(cfg.num_layers)
+        self._blocks = [
+            MMDiTBlock(
+                dim=self._dim,
+                num_heads=self._num_heads,
+                context_pre_only=(i == n_layers - 1),
+                name=f"block_{i}",
+            )
+            for i in range(n_layers)
+        ]
+        self._final_norm = nn.LayerNorm(
+            use_bias=False, use_scale=False, name="final_norm"
+        )
+        self._final_mod = nn.Dense(
+            2 * self._dim, kernel_init=nn.initializers.zeros, name="final_mod"
+        )
+        self._final_proj = nn.Dense(
+            self._patch_size * self._patch_size * self._out_channels,
+            kernel_init=nn.initializers.zeros,
+            name="final_proj",
+        )
+
+    def __call__(
+        self, x: jax.Array, context: Dict, deterministic: bool = True
+    ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
+        encoder_hidden = context["text_embeddings"]
+        pooled = context["pooled_text_embeddings"]
+        timestep = context["timestep"]
+
+        b, h, w, _ = x.shape
+        tokens = self._patch_embed(x) + self._pos_table[None]
+        temb = self._time_text_embed(timestep, pooled)
+        ctx = self._context_embedder(encoder_hidden)
+
+        for block in self._blocks:
+            tokens, ctx_new = block(
+                tokens, ctx, temb, deterministic=deterministic
+            )
+            ctx = ctx_new if ctx_new is not None else ctx
+
+        shift, scale = jnp.split(self._final_mod(nn.silu(temb)), 2, axis=-1)
+        tokens = _modulate(self._final_norm(tokens), shift, scale)
+        tokens = self._final_proj(tokens)
+
+        p = self._patch_size
+        gh, gw = h // p, w // p
+        c = self._out_channels
+        out = tokens.reshape(b, gh, gw, p, p, c)
+        out = jnp.einsum("bhwpqc->bhpwqc", out).reshape(
+            b, gh * p, gw * p, c
+        ).astype(jnp.float32)
+        if self._is_learned_sigma:
+            return tuple(jnp.split(out, 2, axis=-1))
+        return out

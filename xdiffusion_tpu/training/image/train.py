@@ -75,6 +75,8 @@ def train(
     seed: int = 0,
     mixed_precision: str = "",
     num_samples: int = 64,
+    profile_start_step: int = -1,
+    debug_nans: bool = False,
 ) -> str:
     """Train an image diffusion model from a YAML config.
 
@@ -181,10 +183,16 @@ def train(
     )
 
     logger = MetricsLogger(out_dir)
+    from xdiffusion_tpu.profiling import StepProfiler, enable_nan_debugging
+
+    if debug_nans:
+        enable_nan_debugging(True)
+    profiler = StepProfiler(out_dir, start_step=profile_start_step)
     step_rng = jax.random.PRNGKey(seed + 1)
     t_start = time.time()
 
     for step in range(start_step, num_training_steps):
+        profiler.maybe_start(step)
         batch = next(batches)
         device_batch: Dict = {"images": batch["images"]}
         if is_class_conditional:
@@ -204,6 +212,7 @@ def train(
         device_batch = shard_batch(device_batch, mesh)
         state, metrics = train_step(state, device_batch, step_rng)
 
+        profiler.maybe_stop(step)
         if host_importance:
             importance.update_with_all_losses(
                 np.asarray(metrics["timesteps"]),
@@ -236,6 +245,7 @@ def train(
             checkpoints.save_checkpoint(ckpt_dir, state, step + 1)
             print(f"checkpoint + samples saved @ step {step+1}", flush=True)
 
+    profiler.close()
     wall = time.time() - t_start
     steps_done = num_training_steps - start_step
     print(
