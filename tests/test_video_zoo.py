@@ -1,0 +1,139 @@
+"""Video score-network zoo tests: pseudo-3D, factorized-3D (FDM),
+Video-LDM adapters, AnimateDiff motion modules, Sora STDiT."""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xdiffusion_tpu.config import DotConfig, get_obj_from_str
+
+from test_video import tiny_video_config
+
+
+def _video_ctx(frames=4, batch=2):
+    return {
+        "timestep": jnp.array([0.2] * batch),
+        "logsnr_t": jnp.array([1.0] * batch),
+        "frame_indices": jnp.tile(jnp.arange(frames)[None], (batch, 1)),
+    }
+
+
+@pytest.mark.parametrize(
+    "target,identity_at_init",
+    [
+        ("xdiffusion.score_networks.unet_pseudo3d.Unet", False),
+        ("xdiffusion.score_networks.unet_factorized3d.Unet", False),
+        ("xdiffusion.score_networks.video_ldm.Unet", False),
+        ("xdiffusion.score_networks.animate_diff.Unet", False),
+    ],
+)
+def test_video_unet_variants_forward(target, identity_at_init):
+    cls = get_obj_from_str(target)
+    cfg = DotConfig(
+        copy.deepcopy(
+            tiny_video_config(frames=4).to_dict()["diffusion"]["score_network"][
+                "params"
+            ]
+        )
+    )
+    net = cls(config=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8, 1))
+    ctx = _video_ctx()
+    params = jax.jit(net.init)(jax.random.PRNGKey(1), x, ctx)
+    out = jax.jit(net.apply)(params, x, ctx)
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_pseudo3d_temporal_conv_identity_init():
+    # The temporal convs start as the identity: the pseudo-3D net at init
+    # must match the plain factorized net at init given the same params
+    # subset... simpler invariant: a constant-in-time input stays constant
+    # in time through the temporal conv.
+    from xdiffusion_tpu.score_networks.unet_pseudo3d import TemporalConv1D
+
+    conv = TemporalConv1D()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 4, 8))
+    params = conv.init(jax.random.PRNGKey(1), x)
+    out = conv.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_video_ldm_blend_starts_at_image_path():
+    from xdiffusion_tpu.score_networks.video_ldm import TemporalAdapter
+
+    adapter = TemporalAdapter(channels=8, num_frames=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4, 8))
+    params = adapter.init(jax.random.PRNGKey(1), x)
+    out = adapter.apply(params, x)
+    # sigmoid(8) ~ 0.9997: output ~ input at init.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=0.05)
+
+
+def test_sora_stdit_forward():
+    cls = get_obj_from_str("xdiffusion.score_networks.sora.Sora")
+    cfg = DotConfig(
+        {
+            "input_spatial_size": 8,
+            "input_channels": 1,
+            "input_number_of_frames": 4,
+            "is_learned_sigma": False,
+            "is_class_conditional": False,
+            "input_size": [4, 8, 8],
+            "input_sq_size": 8,
+            "patch_size": [1, 4, 4],
+            "hidden_size": 32,
+            "depth": 4,
+            "num_heads": 2,
+            "mlp_ratio": 2.0,
+            "class_dropout_prob": 0.0,
+            "pred_sigma": False,
+            "drop_path": 0.0,
+            "caption_channels": 48,
+            "model_max_length": 8,
+            "qk_norm": True,
+        }
+    )
+    net = cls(config=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8, 1))
+    ctx = {
+        "timestep": jnp.array([0.3, 0.7]),
+        "text_embeddings": jax.random.normal(jax.random.PRNGKey(1), (2, 8, 48)),
+    }
+    params = jax.jit(net.init)(jax.random.PRNGKey(2), x, ctx)
+    out = jax.jit(net.apply)(params, x, ctx)
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_fdm_frame_indices_change_attention():
+    # Frame-index RPE: changing frame indices must change the temporal
+    # attention output (the FDM conditioning mechanism). The output
+    # projection is zero-init (block starts as identity), so give it a
+    # nonzero kernel before probing.
+    from xdiffusion_tpu.layers.attention import TemporalSelfAttention
+
+    attn = TemporalSelfAttention(
+        in_channels=8,
+        temporal_sequence_length=4,
+        max_relative_position=8,
+        heads=2,
+        dim_head=4,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 2, 2, 8))
+    ctx1 = {"frame_indices": jnp.array([[0, 1, 2, 3]])}
+    params = attn.init(jax.random.PRNGKey(1), x, ctx1)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.05 * jnp.ones_like(p), params
+    )
+    out1 = attn.apply(params, x, ctx1)
+    out2 = attn.apply(params, x, {"frame_indices": jnp.array([[0, 3, 6, 7]])})
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+    # And without frame_indices it falls back to window positions.
+    out3 = attn.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out3), atol=1e-5
+    )

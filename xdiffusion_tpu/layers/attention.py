@@ -136,24 +136,39 @@ class TemporalSelfAttention(nn.Module):
         ).transpose(0, 2, 1, 3)
         q, k, v = to_heads(q), to_heads(k), to_heads(v)
 
-        # Learned relative-position bias over frame offsets.
+        # Learned relative-position bias over frame offsets. When the
+        # context carries explicit frame_indices (FDM-style arbitrary
+        # temporal positions, reference attention.py:910-1090), offsets are
+        # computed from those instead of the window position.
         max_rel = self.max_relative_position
         bias_table = self.param(
             "rel_pos_bias",
             nn.initializers.normal(stddev=0.02),
             (num_heads, 2 * max_rel - 1),
         )
-        idx = jnp.arange(f)
-        rel = jnp.clip(idx[:, None] - idx[None, :], -(max_rel - 1), max_rel - 1)
-        rel = rel + (max_rel - 1)  # (F, F) in [0, 2*max_rel-2]
-        bias = bias_table[:, rel]  # (H, F, F)
+        if context is not None and "frame_indices" in context:
+            fi = context["frame_indices"][:, :f].astype(jnp.int32)  # (B, F)
+            rel = jnp.clip(
+                fi[:, :, None] - fi[:, None, :], -(max_rel - 1), max_rel - 1
+            ) + (max_rel - 1)  # (B, F, F)
+            bias_b = bias_table[:, rel]  # (H, B, F, F)
+            bias_b = bias_b.transpose(1, 0, 2, 3)  # (B, H, F, F)
+            # Spatial positions fold into batch: repeat per location.
+            bias = jnp.repeat(bias_b, h * w, axis=0)
+        else:
+            idx = jnp.arange(f)
+            rel = jnp.clip(
+                idx[:, None] - idx[None, :], -(max_rel - 1), max_rel - 1
+            )
+            rel = rel + (max_rel - 1)  # (F, F) in [0, 2*max_rel-2]
+            bias = bias_table[:, rel][None]  # (1, H, F, F)
 
         scale = head_dim**-0.5
         logits = (
             jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
             * scale
         )
-        logits = logits + bias[None].astype(jnp.float32)
+        logits = logits + bias.astype(jnp.float32)
         weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(b * h * w, f, c)

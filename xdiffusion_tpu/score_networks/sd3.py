@@ -158,13 +158,7 @@ class SD3Transformer2DModel(nn.Module):
         self._context_embedder = nn.Dense(self._dim, name="context_embedder")
         n_layers = int(cfg.num_layers)
         self._blocks = [
-            MMDiTBlock(
-                dim=self._dim,
-                num_heads=self._num_heads,
-                context_pre_only=(i == n_layers - 1),
-                name=f"block_{i}",
-            )
-            for i in range(n_layers)
+            self._make_block(i, n_layers) for i in range(n_layers)
         ]
         self._final_norm = nn.LayerNorm(
             use_bias=False, use_scale=False, name="final_norm"
@@ -176,6 +170,15 @@ class SD3Transformer2DModel(nn.Module):
             self._patch_size * self._patch_size * self._out_channels,
             kernel_init=nn.initializers.zeros,
             name="final_proj",
+        )
+
+    def _make_block(self, i: int, n_layers: int) -> nn.Module:
+        """Block factory; SD3.5 overrides to mix in MMDiT-X blocks."""
+        return MMDiTBlock(
+            dim=self._dim,
+            num_heads=self._num_heads,
+            context_pre_only=(i == n_layers - 1),
+            name=f"block_{i}",
         )
 
     def __call__(

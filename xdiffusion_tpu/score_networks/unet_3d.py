@@ -185,7 +185,9 @@ class Unet(nn.Module):
             self._output_channels, (3, 3), use_bias=False, name="final_conv"
         )
 
-    def _apply_stage(self, stage, h, f, folded_context, context, deterministic):
+    def _apply_stage(
+        self, stage, h, f, folded_context, context, deterministic, stage_id=0
+    ):
         for kind, mod in stage:
             if kind in ("res", "res_up"):
                 h = mod(h, context=folded_context, deterministic=deterministic)
@@ -197,6 +199,11 @@ class Unet(nn.Module):
                 )[0]
             else:
                 h = mod(h)
+        return self._post_stage(h, f, stage_id)
+
+    def _post_stage(self, h, f, stage_id):
+        """Hook for variants that add per-stage temporal mixing
+        (pseudo-3D convs, motion modules)."""
         return h
 
     def __call__(
@@ -219,19 +226,23 @@ class Unet(nn.Module):
         folded_context = _tile_context_over_frames(context, f)
         h = self._initial_conv(h)
         hs = [h]
+        stage_id = 0
         for stage in self._downs:
             h = self._apply_stage(
-                stage, h, f, folded_context, context, deterministic
+                stage, h, f, folded_context, context, deterministic, stage_id
             )
             hs.append(h)
+            stage_id += 1
         h = self._apply_stage(
-            self._middle, h, f, folded_context, context, deterministic
+            self._middle, h, f, folded_context, context, deterministic, stage_id
         )
+        stage_id += 1
         for stage in self._ups:
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             h = self._apply_stage(
-                stage, h, f, folded_context, context, deterministic
+                stage, h, f, folded_context, context, deterministic, stage_id
             )
+            stage_id += 1
 
         h = self._final_conv(nn.silu(self._final_norm(h)))
         h = _unfold(h, f)
