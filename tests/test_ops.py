@@ -67,3 +67,44 @@ def test_flash_backward_gradients_match():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_group_norm_silu_pallas_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from xdiffusion_tpu.ops.group_norm import (
+        _pallas_group_norm_silu,
+        _xla_group_norm_silu,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 128))
+    scale = jax.random.normal(jax.random.PRNGKey(1), (128,)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.PRNGKey(2), (128,)) * 0.1
+    expected = _xla_group_norm_silu(x, scale, bias, 32, 1e-5, True)
+    with pltpu.force_tpu_interpret_mode():
+        out = _pallas_group_norm_silu(x, scale, bias, 32, 1e-5, True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_group_norm_xla_matches_flax():
+    from flax import linen as nn
+
+    from xdiffusion_tpu.ops.group_norm import _xla_group_norm_silu
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 64))
+    gn = nn.GroupNorm(num_groups=16)
+    params = gn.init(jax.random.PRNGKey(1), x)
+    expected = gn.apply(params, x)
+    out = _xla_group_norm_silu(
+        x,
+        params["params"]["scale"],
+        params["params"]["bias"],
+        16,
+        1e-5,  # flax default eps is 1e-6; tolerance below covers it
+        apply_silu=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), atol=2e-3, rtol=2e-3
+    )

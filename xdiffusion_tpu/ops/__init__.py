@@ -7,3 +7,4 @@ backends. Callers import the dispatcher, never a specific backend.
 """
 
 from xdiffusion_tpu.ops.attention import dot_product_attention  # noqa: F401
+from xdiffusion_tpu.ops.group_norm import group_norm_silu  # noqa: F401

@@ -1,0 +1,119 @@
+"""Fused GroupNorm(+SiLU) as a Pallas TPU kernel.
+
+GroupNorm -> SiLU opens every residual block in the UNet family (the
+hottest non-conv op on the sampling path). The kernel computes per-(batch,
+group) statistics and applies normalize+affine+SiLU in ONE VMEM pass —
+one HBM read + one write per element, where the unfused path re-reads the
+activation for each stage.
+
+Grid: one program per batch element; the whole (H, W, C) slab sits in
+VMEM (UNet feature maps at 32x32x512 and below are < 2 MB). Larger slabs
+fall back to the XLA path, as do CPU runs and channel counts that don't
+tile the 128-lane dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget for one batch slab (bytes, fp32).
+_MAX_SLAB_BYTES = 8 * 1024 * 1024
+
+
+def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int,
+                    eps: float, apply_silu: bool):
+    x = x_ref[0].astype(jnp.float32)  # (HW, C)
+    hw, c = x.shape
+    cg = c // num_groups
+    grouped = x.reshape(hw, num_groups, cg)
+    mean = jnp.mean(grouped, axis=(0, 2), keepdims=True)
+    var = jnp.mean((grouped - mean) ** 2, axis=(0, 2), keepdims=True)
+    normed = (grouped - mean) * jax.lax.rsqrt(var + eps)
+    normed = normed.reshape(hw, c)
+    out = normed * scale_ref[0] + bias_ref[0]
+    if apply_silu:
+        out = out * jax.nn.sigmoid(out)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _pallas_group_norm_silu(x, scale, bias, num_groups, eps, apply_silu):
+    b = x.shape[0]
+    c = x.shape[-1]
+    hw = 1
+    for d in x.shape[1:-1]:
+        hw *= d
+    x2 = x.reshape(b, hw, c)
+    kernel = functools.partial(
+        _gn_silu_kernel, num_groups=num_groups, eps=eps, apply_silu=apply_silu
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * hw * c,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=b * hw * c if apply_silu else 0,
+        ),
+    )(x2, scale.reshape(1, c), bias.reshape(1, c))
+    return out.reshape(x.shape)
+
+
+def _xla_group_norm_silu(x, scale, bias, num_groups, eps, apply_silu):
+    c = x.shape[-1]
+    cg = c // num_groups
+    shape = x.shape[:-1] + (num_groups, cg)
+    grouped = x.astype(jnp.float32).reshape(shape)
+    axes = tuple(range(1, len(shape) - 2)) + (len(shape) - 1,)
+    mean = jnp.mean(grouped, axis=axes, keepdims=True)
+    var = jnp.var(grouped, axis=axes, keepdims=True)
+    normed = ((grouped - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+    out = normed * scale + bias
+    if apply_silu:
+        out = jax.nn.silu(out)
+    return out.astype(x.dtype)
+
+
+def _eligible(x, num_groups) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    c = x.shape[-1]
+    if c % num_groups != 0 or c % 128 != 0:
+        return False
+    slab = 4  # fp32 accumulate
+    for d in x.shape[1:]:
+        slab *= d
+    return slab <= _MAX_SLAB_BYTES
+
+
+def group_norm_silu(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    apply_silu: bool = True,
+    force_xla: bool = False,
+) -> jax.Array:
+    """Fused GroupNorm (+ optional SiLU) over the trailing channel axis of
+    an (B, ..., C) tensor."""
+    if not force_xla and _eligible(x, num_groups):
+        return _pallas_group_norm_silu(
+            x, scale, bias, num_groups, eps, apply_silu
+        )
+    return _xla_group_norm_silu(x, scale, bias, num_groups, eps, apply_silu)
