@@ -78,3 +78,62 @@ def test_gemma2_embedded_dataset():
     # Same label (same surface pick rng state differences aside) stays in
     # the per-class table; distinct labels differ.
     assert not np.allclose(emb[0], emb[2])
+
+
+def test_pixart_dyt_swaps_norms_for_dynamic_tanh():
+    import flax
+    import jax
+
+    cls = get_obj_from_str("xdiffusion.score_networks.dyt.DyTScoreNetwork")
+    cfg = DotConfig(
+        {
+            "input_channels": 1,
+            "output_channels": 1,
+            "input_spatial_size": 16,
+            "patch_size": 4,
+            "hidden_size": 64,
+            "depth": 2,
+            "num_heads": 2,
+            "mlp_ratio": 2.0,
+            "is_learned_sigma": False,
+            "is_class_conditional": False,
+            "num_classes": 10,
+            "conditioning": {
+                "signals": ["timestep"],
+                "projections": {
+                    "timestep": {
+                        "target": "xdiffusion.layers.embedding.DiTTimestepEmbedding",
+                        "params": {
+                            "hidden_size": 64,
+                            "frequency_embedding_size": 32,
+                        },
+                    }
+                },
+                "context_transformer_head": [
+                    {
+                        "target": "xdiffusion.layers.embedding.RunProjection",
+                        "params": {
+                            "input_context_key": "timestep",
+                            "output_context_key": "timestep_embedding",
+                            "projection_key": "timestep",
+                        },
+                    }
+                ],
+            },
+        }
+    )
+    net = cls(config=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 1))
+    ctx = {
+        "timestep": jnp.array([3, 7]),
+        "context_embeddings": jax.random.normal(
+            jax.random.PRNGKey(1), (2, 4, 64)
+        ),
+    }
+    params = jax.jit(net.init)(jax.random.PRNGKey(2), x, ctx)
+    flat = flax.traverse_util.flatten_dict(params["params"])
+    # 2 DyT sites per block x 2 blocks + the final norm.
+    alphas = [k for k in flat if k[-1] == "alpha"]
+    assert len(alphas) == 5
+    out = jax.jit(net.apply)(params, x, ctx)
+    assert out.shape == x.shape and bool(jnp.all(jnp.isfinite(out)))

@@ -24,7 +24,16 @@ def main():
     p.add_argument("--load_vae_weights_from_checkpoint", type=str, default="")
     p.add_argument("--num_samples", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--force_cpu", action="store_true")
+    p.add_argument("--sampling_steps", type=int, default=0,
+                   help="respaced sampling steps for preview grids "
+                        "(0 = the scheduler's full ladder)")
     args = p.parse_args()
+
+    if args.force_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     train(
         config_path=args.config_path,
@@ -39,6 +48,7 @@ def main():
             args.load_model_weights_from_checkpoint or None
         ),
         num_samples=args.num_samples,
+        sampling_steps=args.sampling_steps,
         seed=args.seed,
     )
 

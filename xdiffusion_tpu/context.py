@@ -81,6 +81,12 @@ class UnconditionalTextPromptsAdapter:
             new_context["text_prompts"] = [""] * len(context["text_prompts"])
         if "text_tokens" in context:
             new_context["text_tokens"] = jnp.zeros_like(context["text_tokens"])
+        # Frozen-encoder path (FrozenCLIPEmbedder/T5TextEmbedder): the
+        # embeddings are already in the context; zero them device-side.
+        for key in ("text_embeddings", "t5_text_embeddings",
+                    "clip_text_embeddings"):
+            if key in context and not isinstance(context[key], (list, tuple)):
+                new_context[key] = jnp.zeros_like(context[key])
         return new_context
 
 
@@ -201,3 +207,107 @@ class ContextEmbeddingAdapter:
 
     def __call__(self, context: Dict, **kwargs):
         return context["context_embedding"]
+
+
+class T5TextPromptsPreprocessor:
+    """Host-side: context["text_prompts"] -> context["text_tokens"] with the
+    T5 vocabulary contract (reference: context.py T5 prompt preprocessor;
+    used by the Imagen configs). Uses the real T5 tokenizer when its files
+    are cached locally, else the byte-BPE fallback folded into the T5 vocab
+    range.
+    """
+
+    def __init__(
+        self,
+        max_length: int = 77,
+        model_name: str = "google/t5-v1_1-base",
+        **kwargs,
+    ):
+        self._max_length = int(max_length)
+        self._tokenizer = None
+        try:
+            from transformers import AutoTokenizer
+
+            self._tokenizer = AutoTokenizer.from_pretrained(
+                model_name, local_files_only=True
+            )
+        except Exception:
+            from xdiffusion_tpu.tokenizer import get_encoder
+
+            self._encoder = get_encoder()
+
+    def __call__(self, context: Dict, **kwargs) -> Dict:
+        if "text_prompts" not in context or "text_tokens" in context:
+            return context
+        import numpy as np
+
+        prompts = list(context["text_prompts"])
+        if self._tokenizer is not None:
+            out = self._tokenizer(
+                prompts,
+                max_length=self._max_length,
+                padding="max_length",
+                truncation=True,
+                return_tensors="np",
+            )
+            tokens = out["input_ids"].astype(np.int32)
+        else:
+            tokens = self._encoder.tokenize(prompts, self._max_length) % 32128
+        new_context = dict(context)
+        new_context["text_tokens"] = jnp.asarray(tokens)
+        new_context.pop("text_prompts")
+        return new_context
+
+
+class TextTokenProjectionAdapter:
+    """Context-transformer head: run the score network's `text_tokens`
+    projection (e.g. T5TextTokensToEmbedding) and write the result to
+    context["text_embeddings"]. A named shorthand for
+    RunProjection(text_tokens -> text_embeddings)."""
+
+    # Score networks dispatch (context, projections) to heads that declare
+    # a projection_key (see score_networks/unet.py head dispatch).
+    projection_key = "text_tokens"
+
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, context: Dict, projections: Dict) -> Dict:
+        new_context = dict(context)
+        new_context["text_embeddings"] = projections["text_tokens"](
+            context["text_tokens"], context
+        )
+        return new_context
+
+
+class TextEmbeddingsAdapter:
+    """Conditioning-signal selector for cross-attention: yields
+    context["text_embeddings"] as (B, L, C).
+
+    The reference's `swap_context_channels` flag exists because its text
+    encoders emit channel-first tensors; embeddings here are (B, L, C)
+    throughout, so the flag is accepted for config compatibility and is a
+    no-op.
+    """
+
+    def __init__(self, swap_context_channels: bool = False, **kwargs):
+        self.swap_context_channels = bool(swap_context_channels)
+
+    def __call__(self, context: Dict, **kwargs):
+        return context["text_embeddings"]
+
+
+class SpatialBatchForVideo:
+    """Reference-config compatibility shim (reference: context.py:466):
+    the reference's video UNets fold frames into the batch and need
+    per-video context tensors repeated per frame. The video UNets here
+    tile every array context entry over frames automatically when folding
+    (score_networks/unet_3d.py), so this head is a pass-through.
+    """
+
+    def __init__(self, input_context_key: str = "", num_frames: int = 0,
+                 **kwargs):
+        self._input_context_key = input_context_key
+
+    def __call__(self, context: Dict, projections: Dict = None) -> Dict:
+        return context

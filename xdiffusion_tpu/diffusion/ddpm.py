@@ -222,7 +222,10 @@ class GaussianDiffusion_DDPM:
             context["timestep"] = jnp.zeros((batch_size,), dtype=jnp.int32)
         if sn.is_class_conditional:
             context["classes"] = jnp.zeros((batch_size,), dtype=jnp.int32)
-        if "text_tokens" in list(sn.conditioning.signals):
+        signals = (
+            list(sn.conditioning.signals) if "conditioning" in sn else []
+        )
+        if "text_tokens" in signals:
             text_len = 128
             for c in diff.get("context_preprocessing", []):
                 params = c.get("params", {}) or {}
@@ -233,14 +236,35 @@ class GaussianDiffusion_DDPM:
             )
         if "super_resolution" in self._config:
             sr = self._config.super_resolution
-            context[sr.conditioning_key] = jnp.zeros(
-                (
+            prep = diff.get("input_preprocessing", {})
+            prep_params = prep.get("params", {}) if prep else {}
+            is_temporal = bool(prep_params.get("is_temporal", False))
+            if "input_number_of_frames" in sn:
+                if is_temporal:
+                    # Temporal SR: low-res has fewer FRAMES at full spatial.
+                    lr_shape = (
+                        batch_size,
+                        sr.low_resolution_size,
+                        spatial[0],
+                        spatial[1],
+                        sn.output_channels,
+                    )
+                else:
+                    lr_shape = (
+                        batch_size,
+                        sn.input_number_of_frames,
+                        sr.low_resolution_size,
+                        sr.low_resolution_size,
+                        sn.output_channels,
+                    )
+            else:
+                lr_shape = (
                     batch_size,
                     sr.low_resolution_size,
                     sr.low_resolution_size,
                     sn.output_channels,
                 )
-            )
+            context[sr.conditioning_key] = jnp.zeros(lr_shape)
             if self._noise_scheduler.continuous():
                 context["augmentation_timestep"] = jnp.zeros(
                     (batch_size,), dtype=jnp.float32
@@ -249,6 +273,17 @@ class GaussianDiffusion_DDPM:
                 context["augmentation_timestep"] = jnp.zeros(
                     (batch_size,), dtype=jnp.int32
                 )
+        # Frozen-encoder conditioning (CLIP/T5/CLAP embedders in
+        # context_preprocessing) puts embedding arrays in the context before
+        # the traced forward ever runs; probe them with empty prompts so
+        # init sees the full signature.
+        if self._context_preprocessors:
+            probe = self.preprocess_context(
+                {"text_prompts": [""] * batch_size}
+            )
+            for key, value in probe.items():
+                if key not in context and hasattr(value, "shape"):
+                    context[key] = value
         return x, context
 
     def init_params(self, rng: jax.Array, batch_size: int = 2):

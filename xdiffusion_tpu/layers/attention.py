@@ -39,6 +39,9 @@ class SpatialCrossAttention(nn.Module):
     # Optional {target:, params:} block selecting which context signal
     # feeds the encoder kv (reference: attention.py:80-84).
     context_adapter: Optional[dict] = None
+    # LayerNorm the conditioning sequence before the encoder kv projection
+    # (Imagen's Efficient UNet cross-attention does this).
+    context_layer_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -79,6 +82,8 @@ class SpatialCrossAttention(nn.Module):
             else:
                 enc = context.get(self.context_key, context.get("context_embedding"))
             assert enc is not None, "cross-attention needs a context sequence"
+            if self.context_layer_norm:
+                enc = nn.LayerNorm(dtype=self.dtype, name="context_norm")(enc)
             enc_kv = nn.Dense(2 * c, dtype=self.dtype, name="encoder_kv")(enc)
             ek, ev = jnp.split(enc_kv, 2, axis=-1)
             k = jnp.concatenate([to_heads(ek, enc.shape[1]), k], axis=2)
@@ -208,3 +213,63 @@ class MultiHeadSelfAttention(nn.Module):
         if self.dropout > 0.0:
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out
+
+
+class SpatialAndTemporalCrossAttention(nn.Module):
+    """Combined spatial cross-attention + temporal self-attention block
+    (reference: layers/attention.py:756 — Make-A-Video's fused attention).
+
+    Designed for the video UNets' *spatial* layer slot, which runs on
+    frame-folded (B*F, H, W, C) maps: the spatial half runs folded, then
+    frames are statically recovered from `temporal_sequence_length` for
+    the temporal half. Both halves are residual with zero-init output
+    projections, so the block starts as the identity.
+    """
+
+    in_channels: int
+    temporal_sequence_length: int = 16
+    max_relative_position: int = 16
+    context_dim: Optional[int] = None
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    is_video: bool = True
+    # Accepted for reference-config compatibility.
+    pre_layer_norm: bool = False
+    post_layer_norm: bool = False
+    context_layer_norm: bool = False
+    context_adapter: Optional[dict] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, context: Optional[Dict] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        x = SpatialCrossAttention(
+            in_channels=self.in_channels,
+            context_dim=self.context_dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            dropout=self.dropout,
+            context_layer_norm=self.context_layer_norm,
+            context_adapter=self.context_adapter,
+            dtype=self.dtype,
+            name="spatial",
+        )(x, context=context, deterministic=deterministic)
+        if not self.is_video:
+            return x
+        bf, h, w, c = x.shape
+        f = self.temporal_sequence_length
+        video = x.reshape(bf // f, f, h, w, c)
+        video = TemporalSelfAttention(
+            in_channels=self.in_channels,
+            temporal_sequence_length=f,
+            max_relative_position=self.max_relative_position,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            name="temporal",
+        )(video, context=None, deterministic=deterministic)
+        return video.reshape(bf, h, w, c)

@@ -443,3 +443,53 @@ class RunProjection:
             context[self.input_context_key], context=context
         )
         return new_context
+
+
+class PooledTextEmbeddingsToTimestep(nn.Module):
+    """Imagen-style pooled-text-to-time conditioning head: attention-pool
+    the (B, L, D) text embeddings with a learned query and add the pooled
+    vector (projected to the timestep-embedding width) onto
+    context["timestep_embedding"] (reference: Efficient UNet conditioning,
+    layers/embedding.py pooled-text head).
+    """
+
+    text_embedding_dim: int
+    time_embedding_dim: int
+    attention_pooling_heads: int = 64  # per-head width
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, context: Dict, projections: Dict = None) -> Dict:
+        emb = context["text_embeddings"].astype(self.dtype)  # (B, L, D)
+        b, l, d = emb.shape
+        head_dim = int(self.attention_pooling_heads)
+        num_heads = max(1, d // head_dim)
+        head_dim = d // num_heads
+
+        # Single learned query attends over the sequence.
+        query = self.param(
+            "pool_query", nn.initializers.normal(0.02), (d,)
+        ).astype(self.dtype)
+        q = jnp.broadcast_to(query[None, None], (b, 1, d))
+        q = nn.Dense(d, dtype=self.dtype, name="q")(q)
+        k = nn.Dense(d, dtype=self.dtype, name="k")(emb)
+        v = nn.Dense(d, dtype=self.dtype, name="v")(emb)
+        split = lambda t, n: t.reshape(b, n, num_heads, head_dim).transpose(
+            0, 2, 1, 3
+        )
+        attn = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", split(q, 1), split(k, l))
+            / jnp.sqrt(jnp.asarray(head_dim, self.dtype)),
+            axis=-1,
+        )
+        pooled = jnp.einsum("bhqk,bhkd->bhqd", attn, split(v, l))
+        pooled = pooled.transpose(0, 2, 1, 3).reshape(b, d)
+
+        proj = nn.Dense(self.time_embedding_dim, dtype=self.dtype, name="to_time")(
+            nn.silu(nn.LayerNorm(dtype=self.dtype, name="norm")(pooled))
+        )
+        new_context = dict(context)
+        new_context["timestep_embedding"] = (
+            context["timestep_embedding"] + proj.astype(jnp.float32)
+        )
+        return new_context

@@ -10,11 +10,16 @@ stable and XLA-fuses into a no-op at init).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Route the GroupNorm->SiLU block openers through the fused Pallas kernel
+# (ops/group_norm.py). Off by default until it wins on the bench.
+_FUSED_NORM = os.environ.get("XDIFFUSION_FUSED_NORM", "0") == "1"
 
 
 def _group_norm(c: int, name: str, dtype) -> nn.GroupNorm:
@@ -22,6 +27,32 @@ def _group_norm(c: int, name: str, dtype) -> nn.GroupNorm:
     # channels (tests / tiny configs).
     groups = 32 if c % 32 == 0 else max(1, c // 4)
     return nn.GroupNorm(num_groups=groups, name=name, dtype=dtype)
+
+
+class FusedGroupNormSiLU(nn.Module):
+    """GroupNorm + SiLU through the fused Pallas kernel (XLA fallback)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from xdiffusion_tpu.ops import group_norm_silu
+
+        c = self.channels
+        groups = 32 if c % 32 == 0 else max(1, c // 4)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return group_norm_silu(
+            x, scale, bias, num_groups=groups, apply_silu=True
+        ).astype(self.dtype)
+
+
+def _norm_silu(x, c: int, name: str, dtype):
+    """silu(groupnorm(x)) — fused when enabled."""
+    if _FUSED_NORM:
+        return FusedGroupNormSiLU(channels=c, dtype=dtype, name=name)(x)
+    return nn.silu(_group_norm(c, name, dtype)(x))
 
 
 def nearest_upsample_2x(x: jax.Array) -> jax.Array:
@@ -87,7 +118,7 @@ class ResnetBlockBigGAN(nn.Module):
         self, x: jax.Array, context: Dict, deterministic: bool = True
     ) -> jax.Array:
         dim_in = x.shape[-1]
-        h = nn.silu(_group_norm(dim_in, "norm1", self.dtype)(x))
+        h = _norm_silu(x, dim_in, "norm1", self.dtype)
         if self.up:
             h = nearest_upsample_2x(h)
             x = nearest_upsample_2x(x)

@@ -59,9 +59,10 @@ class InputPreprocessor:
         b = low_res.shape[0]
 
         if self.is_spatial:
-            # (B, h, w, C) -> (B, H, W, C) bilinear with antialiasing.
-            target = (
-                b,
+            # (B, [F,] h, w, C) -> (B, [F,] H, W, C) bilinear: only the two
+            # trailing spatial dims change, so the same expression covers
+            # image (4D) and video (5D) super-resolution.
+            target = low_res.shape[:-3] + (
                 self.super_resolution_size,
                 self.super_resolution_size,
                 low_res.shape[-1],

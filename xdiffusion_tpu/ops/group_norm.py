@@ -28,15 +28,27 @@ _MAX_SLAB_BYTES = 8 * 1024 * 1024
 
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int,
                     eps: float, apply_silu: bool):
+    # Mosaic cannot reshape the 128-lane channel axis into sublanes
+    # ((HW, C) -> (HW, G, C/G) is an unsupported shape cast), so group
+    # statistics are aggregated with a (C, C) same-group matmul instead:
+    # summing per-channel stats against the block-diagonal "same group"
+    # matrix yields the per-group value broadcast back to every channel.
+    # The matmul is tiny (C <= 1024) and lands on the MXU.
     x = x_ref[0].astype(jnp.float32)  # (HW, C)
     hw, c = x.shape
     cg = c // num_groups
-    grouped = x.reshape(hw, num_groups, cg)
-    mean = jnp.mean(grouped, axis=(0, 2), keepdims=True)
-    var = jnp.mean((grouped - mean) ** 2, axis=(0, 2), keepdims=True)
-    normed = (grouped - mean) * jax.lax.rsqrt(var + eps)
-    normed = normed.reshape(hw, c)
-    out = normed * scale_ref[0] + bias_ref[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0) // cg
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1) // cg
+    same_group = (row == col).astype(jnp.float32)
+    n = float(hw * cg)
+    s = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
+    mean = jax.lax.dot(s, same_group,
+                       preferred_element_type=jnp.float32) / n
+    d = x - mean
+    ssq = jnp.sum(d * d, axis=0, keepdims=True)  # (1, C)
+    var = jax.lax.dot(ssq, same_group,
+                      preferred_element_type=jnp.float32) / n
+    out = d * jax.lax.rsqrt(var + eps) * scale_ref[...] + bias_ref[...]
     if apply_silu:
         out = out * jax.nn.sigmoid(out)
     o_ref[0] = out.astype(o_ref.dtype)
@@ -93,7 +105,7 @@ def _eligible(x, num_groups) -> bool:
     if jax.default_backend() != "tpu":
         return False
     c = x.shape[-1]
-    if c % num_groups != 0 or c % 128 != 0:
+    if c % num_groups != 0 or c % 128 != 0 or c > 1024:
         return False
     slab = 4  # fp32 accumulate
     for d in x.shape[1:]:

@@ -46,33 +46,30 @@ class DiffusionSSMBlock(nn.Module):
         h = nn.LayerNorm(use_bias=False, use_scale=False, name="input_norm")(x)
         h = (1.0 + scale[:, None]) * h + shift[:, None]
 
-        # Hourglass: downscale the SEQUENCE axis, MLP, upscale.
-        hg = nn.DenseGeneral(j, axis=-2, name="hourglass_down")(
-            h.transpose(0, 2, 1)
-        ).transpose(0, 2, 1)
+        def resample_seq(t, new_len, name):
+            # (B, L, d) -> (B, new_len, d): a learned projection over the
+            # SEQUENCE axis, features untouched.
+            t = t.transpose(0, 2, 1)  # (B, d, L)
+            t = nn.Dense(new_len, name=name)(t)  # (B, d, new_len)
+            return t.transpose(0, 2, 1)
+
+        # Hourglass: downscale the sequence axis, MLP, upscale.
+        hg = resample_seq(h, j, "hourglass_down")
         hg = MLPEmbedder(hidden_dim=d, name="hourglass_mlp")(hg)
-        hg = nn.DenseGeneral(l, axis=-2, name="hourglass_up")(
-            hg.transpose(0, 2, 1)
-        ).transpose(0, 2, 1)
+        hg = resample_seq(hg, l, "hourglass_up")
 
         h_ssm, _ = SequenceResidualBlock(
             d_input=d, bidirectional=self.bidirectional, name="ssm"
         )(hg, deterministic=deterministic)
 
         left = MLPEmbedder(hidden_dim=d, name="mlp_left")(
-            nn.DenseGeneral(j, axis=-2, name="down_left")(
-                h.transpose(0, 2, 1)
-            ).transpose(0, 2, 1)
+            resample_seq(h, j, "down_left")
         )
         right = MLPEmbedder(hidden_dim=d, name="mlp_right")(
-            nn.DenseGeneral(j, axis=-2, name="down_right")(
-                h_ssm.transpose(0, 2, 1)
-            ).transpose(0, 2, 1)
+            resample_seq(h_ssm, j, "down_right")
         )
         fused = MLPEmbedder(hidden_dim=d, name="mlp_final")(left * right)
-        fused = nn.DenseGeneral(l, axis=-2, name="upscale_final")(
-            fused.transpose(0, 2, 1)
-        ).transpose(0, 2, 1)
+        fused = resample_seq(fused, l, "upscale_final")
         return x + gate[:, None] * fused
 
 

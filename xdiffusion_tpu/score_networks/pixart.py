@@ -60,7 +60,15 @@ class PixArtBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    norm_cls: str = "layer"  # "layer" | "dyt" (DynamicTanh, norm-free)
     dtype: jnp.dtype = jnp.float32
+
+    def _norm(self, name: str):
+        if self.norm_cls == "dyt":
+            from xdiffusion_tpu.layers.norm import DynamicTanhNorm
+
+            return DynamicTanhNorm(dim=self.hidden_size, name=name)
+        return nn.LayerNorm(use_bias=False, use_scale=False, name=name)
 
     @nn.compact
     def __call__(
@@ -90,18 +98,19 @@ class PixArtBlock(nn.Module):
             )
             return h * mask / keep
 
-        norm1 = nn.LayerNorm(use_bias=False, use_scale=False, name="norm1")(x)
+        norm1 = self._norm("norm1")(x)
         h = norm1 * (1.0 + scale_msa[:, None]) + shift_msa[:, None]
         h = MultiHeadSelfAttention(
             num_heads=self.num_heads, dtype=self.dtype, name="attn"
         )(h, deterministic=deterministic)
         x = x + drop_path(gate_msa[:, None] * h, "dp1")
 
-        x = x + CrossAttention(
-            num_heads=self.num_heads, dtype=self.dtype, name="cross_attn"
-        )(x, y)
+        if y is not None:  # class-conditional configs set context_key: null
+            x = x + CrossAttention(
+                num_heads=self.num_heads, dtype=self.dtype, name="cross_attn"
+            )(x, y)
 
-        norm2 = nn.LayerNorm(use_bias=False, use_scale=False, name="norm2")(x)
+        norm2 = self._norm("norm2")(x)
         h = norm2 * (1.0 + scale_mlp[:, None]) + shift_mlp[:, None]
         h = nn.Dense(
             int(self.hidden_size * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1"
@@ -115,6 +124,9 @@ class PixArtAlpha(nn.Module):
     """Instantiated with the score_network params block as a DotConfig."""
 
     config: Any
+    # Subclasses (the DyT variant) flip this; `norm_cls:` in the config
+    # params block always wins.
+    _default_norm_cls = "layer"
 
     def setup(self):
         cfg = self.config
@@ -170,19 +182,28 @@ class PixArtAlpha(nn.Module):
         self._t_block = nn.Dense(6 * self._hidden, name="t_block")
 
         drop_path = float(cfg.get("drop_path", 0.0))
+        norm_cls = cfg.get("norm_cls", self._default_norm_cls)
         self._blocks = [
             PixArtBlock(
                 hidden_size=self._hidden,
                 num_heads=int(cfg.num_heads),
                 mlp_ratio=float(cfg.mlp_ratio),
                 drop_path=drop_path,
+                norm_cls=norm_cls,
             )
             for _ in range(int(cfg.depth))
         ]
         self._final_table = None  # created in __call__ via param on final
-        self._final_norm = nn.LayerNorm(
-            use_bias=False, use_scale=False, name="final_norm"
-        )
+        if norm_cls == "dyt":
+            from xdiffusion_tpu.layers.norm import DynamicTanhNorm
+
+            self._final_norm = DynamicTanhNorm(
+                dim=self._hidden, name="final_norm"
+            )
+        else:
+            self._final_norm = nn.LayerNorm(
+                use_bias=False, use_scale=False, name="final_norm"
+            )
         self._final_proj = nn.Dense(
             self._patch_size * self._patch_size * self._out_channels,
             kernel_init=nn.initializers.zeros,
@@ -220,7 +241,9 @@ class PixArtAlpha(nn.Module):
         shared_mod = self._t_block(nn.silu(t_emb)).reshape(
             t_emb.shape[0], 6, self._hidden
         )
-        y = context[self._context_key]  # (B, L, hidden)
+        # (B, L, hidden) cross-attention context, or None when the config
+        # disables the text path (context_key: null).
+        y = context[self._context_key] if self._context_key else None
 
         tokens = self._patch_embed(x) + self._pos_embed[None]
         for block in self._blocks:

@@ -46,7 +46,15 @@ def _tile_context_over_frames(context: Dict, f: int) -> Dict:
     """Per-example conditioning repeats per frame when frames fold into
     the batch axis."""
     out = dict(context)
-    for key in ("timestep_embedding", "class_embedding", "context_embedding"):
+    for key in (
+        "timestep_embedding",
+        "class_embedding",
+        "context_embedding",
+        "text_embeddings",
+        "t5_text_embeddings",
+        "clip_text_embeddings",
+        "pooled_text_embeddings",
+    ):
         if key in out:
             out[key] = jnp.repeat(out[key], f, axis=0)
     return out

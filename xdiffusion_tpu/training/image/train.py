@@ -257,6 +257,27 @@ def train(
     return out_dir
 
 
+def _is_text_conditional(model) -> bool:
+    """True when the model's CFG or conditioning signals include a text
+    signal — the trainer then samples with digit-name prompts."""
+    try:
+        diff = model.config().diffusion
+    except Exception:
+        return False
+    signals = []
+    if "classifier_free_guidance" in diff:
+        signals += list(diff.classifier_free_guidance.get("signals", []))
+    sn = diff.score_network.params if "score_network" in diff else {}
+    if "conditioning" in sn:
+        signals += list(sn.conditioning.signals)
+    if "context_preprocessing" in diff:
+        for prep in diff.context_preprocessing:
+            target = (prep.get("target", "") or "").lower()
+            if "text" in target or "clip" in target:
+                return True
+    return any("text" in s for s in signals)
+
+
 def sample_and_save(
     model,
     state,
@@ -272,6 +293,13 @@ def sample_and_save(
     if is_class_conditional:
         classes = np.arange(num_samples, dtype=np.int32) % 10
         context["classes"] = jnp.asarray(classes)
+        if guidance and hasattr(model, "classifier_free_guidance"):
+            cfg_value = float(model.classifier_free_guidance())
+    if _is_text_conditional(model):
+        # Digit-name prompts; preprocess_context tokenizes/embeds them.
+        context["text_prompts"] = [
+            str(i % 10) for i in range(num_samples)
+        ]
         if guidance and hasattr(model, "classifier_free_guidance"):
             cfg_value = float(model.classifier_free_guidance())
     samples = model.sample(

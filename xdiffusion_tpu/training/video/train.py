@@ -70,6 +70,7 @@ def train(
     load_model_weights_from_checkpoint: Optional[str] = None,
     seed: int = 0,
     num_samples: int = 4,
+    sampling_steps: int = 0,
 ) -> str:
     config = load_yaml(config_path)
     run_name = os.path.splitext(os.path.basename(config_path))[0]
@@ -104,6 +105,9 @@ def train(
     state = jax.device_put(state, replicated(mesh))
 
     train_step = make_train_step(model, tx, mesh)
+    from xdiffusion_tpu.training.image.train import _is_text_conditional
+
+    needs_text = _is_text_conditional(model.models()[0])
     logger = MetricsLogger(out_dir)
     host_rng = np.random.default_rng(seed + 2)
     step_rng = jax.random.PRNGKey(seed + 1)
@@ -127,6 +131,15 @@ def train(
         device_batch: Dict = {"images": videos}
         if "video_mask" in extra_ctx and extra_ctx["video_mask"] is not None:
             device_batch["video_mask"] = extra_ctx["video_mask"]
+        if needs_text:
+            # Label -> prompt -> tokens/embeddings, all host-side; only
+            # arrays cross into the jitted step.
+            ctx = model.models()[0].preprocess_context(
+                {"text_prompts": convert_labels_to_prompts(labels)}
+            )
+            for k, v in ctx.items():
+                if hasattr(v, "shape"):
+                    device_batch[k] = v
         device_batch = shard_batch(device_batch, mesh)
         state, metrics = train_step(state, device_batch, step_rng)
 
@@ -143,7 +156,10 @@ def train(
         if (step + 1) % save_and_sample_every_n == 0 or (
             step + 1
         ) == num_training_steps:
-            sample_and_save_video(model, state, out_dir, step + 1, num_samples)
+            sample_and_save_video(
+                model, state, out_dir, step + 1, num_samples,
+                sampling_steps=sampling_steps,
+            )
             checkpoints.save_checkpoint(ckpt_dir, state, step + 1)
             print(f"checkpoint + samples saved @ step {step+1}", flush=True)
 
@@ -154,9 +170,20 @@ def train(
     return out_dir
 
 
-def sample_and_save_video(model, state, out_dir, step, num_samples=4):
+def sample_and_save_video(model, state, out_dir, step, num_samples=4,
+                          sampling_steps=0):
+    from xdiffusion_tpu.training.image.train import _is_text_conditional
+
     params = state.ema_params if state.ema_params is not None else state.params
-    samples = model.sample(params, jax.random.PRNGKey(step), num_samples=num_samples)
+    first = model.models()[0] if hasattr(model, "models") else model
+    context = {}
+    if _is_text_conditional(first):
+        context["text_prompts"] = [str(i % 10) for i in range(num_samples)]
+    kwargs = {"num_sampling_steps": sampling_steps} if sampling_steps else {}
+    samples = model.sample(
+        params, jax.random.PRNGKey(step), num_samples=num_samples,
+        context=context, **kwargs,
+    )
     videos = np.asarray(samples)  # (B, F, H, W, C)
     # Save a frame strip per video + an animated GIF.
     b, f = videos.shape[:2]
