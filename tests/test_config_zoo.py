@@ -92,3 +92,33 @@ def test_model_config_initializes_params(rel, monkeypatch):
     model = build_model(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     assert len(jax.tree_util.tree_leaves(params)) > 0
+
+
+REFERENCE_CONFIGS = sorted(
+    str(p)
+    for p in pathlib.Path("/root/reference/configs").rglob("*.yaml")
+    if p.is_file()
+)
+
+
+@pytest.mark.skipif(
+    not REFERENCE_CONFIGS, reason="reference tree not mounted"
+)
+@pytest.mark.parametrize(
+    "path", REFERENCE_CONFIGS, ids=lambda p: p.split("configs/")[-1]
+)
+def test_reference_config_targets_resolve(path):
+    """Byte-compat claim: every reference YAML loads through our loader
+    and every dotted target it names resolves onto this package."""
+    cfg = load_yaml(path)
+    targets = []
+    _collect_targets(cfg.to_dict(), targets)
+    missing = []
+    for t in targets:
+        try:
+            obj = get_obj_from_str(t)
+        except Exception:
+            obj = None
+        if obj is None:
+            missing.append(t)
+    assert not missing, f"{path}: unresolvable targets {sorted(set(missing))}"

@@ -82,6 +82,9 @@ _ALIASES: Dict[str, str] = {}
 _PREFIX_REWRITES = [
     ("xdiffusion_tpu.", "xdiffusion_tpu."),  # identity (our own configs)
     ("xdiffusion.", "xdiffusion_tpu."),  # reference configs
+    # The reference's earlier package name leaks into a few of its configs
+    # (e.g. video/moving_mnist/make_a_video.yaml).
+    ("image_diffusion.", "xdiffusion_tpu."),
 ]
 
 

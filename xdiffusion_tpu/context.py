@@ -311,3 +311,40 @@ class SpatialBatchForVideo:
 
     def __call__(self, context: Dict, projections: Dict = None) -> Dict:
         return context
+
+
+class CLIPTextPromptsPreprocessor:
+    """Host-side: prompts -> context["text_tokens"] in the CLIP vocabulary
+    (reference: context.py CLIP prompt preprocessor; used by the *_clip
+    UNet configs). Real CLIP tokenizer when cached, byte-BPE folded into
+    the CLIP vocab range otherwise.
+    """
+
+    def __init__(self, text_sequence_length: int = 77, **kwargs):
+        from xdiffusion_tpu.layers.clip import FrozenCLIPTextTokenizer
+
+        self._tokenizer = FrozenCLIPTextTokenizer(
+            max_length=int(text_sequence_length)
+        )
+
+    def __call__(self, context: Dict, **kwargs) -> Dict:
+        new_context = self._tokenizer(context)
+        new_context.pop("text_prompts", None)
+        return new_context
+
+
+class UnconditionalEmbeddingAdapter:
+    """CFG adapter for frozen-embedding conditioning (reference:
+    context.py — Sana and friends): replaces the text embeddings with the
+    null (zero) embedding of the configured shape. Pure on arrays."""
+
+    def __init__(self, embedding_shape=None, **kwargs):
+        self._shape = tuple(embedding_shape) if embedding_shape else None
+
+    def __call__(self, context: Dict, **kwargs) -> Dict:
+        new_context = dict(context)
+        for key in ("text_embeddings", "t5_text_embeddings",
+                    "clip_text_embeddings"):
+            if key in context and hasattr(context[key], "shape"):
+                new_context[key] = jnp.zeros_like(context[key])
+        return new_context

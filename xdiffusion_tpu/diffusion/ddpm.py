@@ -413,11 +413,26 @@ class GaussianDiffusion_DDPM:
             mask = prob_mask_like(
                 rng_cfg, (b,), self._unconditional_guidance_probability
             )
+            # Reference configs may name pre-tokenization signals
+            # ("text_prompts"); inside the jitted loss those have already
+            # resolved to arrays — drop whichever realization is present.
+            _TEXT_REALIZATIONS = (
+                "text_tokens", "text_embeddings", "t5_text_embeddings",
+                "clip_text_embeddings", "clap_embeddings",
+            )
             for key in self._cfg_signals:
-                cond_sig = context[key]
-                uncond_sig = uncond[key]
-                m = mask.reshape((b,) + (1,) * (cond_sig.ndim - 1))
-                context[key] = jnp.where(m, uncond_sig, cond_sig)
+                keys = (key,)
+                if key not in context and key == "text_prompts":
+                    keys = tuple(
+                        k for k in _TEXT_REALIZATIONS if k in context
+                    )
+                for k in keys:
+                    if k not in context or k not in uncond:
+                        continue
+                    cond_sig = context[k]
+                    uncond_sig = uncond[k]
+                    m = mask.reshape((b,) + (1,) * (cond_sig.ndim - 1))
+                    context[k] = jnp.where(m, uncond_sig, cond_sig)
 
         context["preprocessor_rng"] = jax.random.fold_in(rng_drop, 7)
         x_in = self.process_input(x_t, context)

@@ -493,3 +493,64 @@ class PooledTextEmbeddingsToTimestep(nn.Module):
             context["timestep_embedding"] + proj.astype(jnp.float32)
         )
         return new_context
+
+
+class CLIPTextTokenProjection(nn.Module):
+    """CLIP-vocabulary token ids -> (B, L, 768) sequence embeddings.
+
+    The reference wraps the frozen CLIP text transformer
+    (embedding.py CLIPTextTokenProjection); offline this degrades to a
+    trainable embedding table + position embedding with the same output
+    contract.
+    """
+
+    text_sequence_length: int = 77
+    vocab_size: int = 49408
+    width: int = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array, context: Dict = None) -> jax.Array:
+        table = nn.Embed(
+            self.vocab_size, self.width, dtype=self.dtype, name="token_embed"
+        )
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.01),
+            (self.text_sequence_length, self.width),
+        )
+        h = table(tokens.astype(jnp.int32))
+        return h + pos[None, : h.shape[1]].astype(h.dtype)
+
+
+class SanaPromptToTextEmbedding:
+    """Host-side Gemma-2 prompt embedder for Sana (reference:
+    embedding.py SanaPromptToTextEmbedding). Deterministic hash fallback
+    offline at the Gemma-2 width (2304)."""
+
+    host_side = True
+
+    def __init__(
+        self,
+        text_encoder_model_name: str = "google/gemma-2-2b-it",
+        max_length: int = 300,
+        input_key: str = "text_prompts",
+        output_key: str = "text_embeddings",
+        use_bfloat16: bool = False,
+        embedding_dim: int = 2304,
+        **kwargs,
+    ):
+        self.input_key = input_key
+        self.output_key = output_key
+        self.context_key = output_key
+        self._fallback = _HashEmbedFallback(int(max_length), int(embedding_dim))
+
+    def __call__(self, context: Dict, **kwargs) -> Dict:
+        if self.input_key not in context or self.output_key in context:
+            return context
+        import numpy as np
+
+        emb = np.stack([self._fallback(t) for t in context[self.input_key]])
+        new_context = dict(context)
+        new_context[self.output_key] = jnp.asarray(emb)
+        return new_context

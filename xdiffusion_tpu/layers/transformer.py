@@ -9,13 +9,14 @@ becomes context["context_embedding"] consumed by cross-attention layers.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from xdiffusion_tpu.layers.attention import MultiHeadSelfAttention
+from xdiffusion_tpu.ops import dot_product_attention
 
 
 class TransformerBlock(nn.Module):
@@ -106,3 +107,84 @@ class GLIDETransformerWrapper(nn.Module):
         )
         new_context["context_embedding"] = xf_out  # (B, L, width)
         return new_context
+
+
+class SpatialTransformer(nn.Module):
+    """LDM-style spatial transformer block over an NHWC feature map
+    (reference: layers/transformer.py SpatialTransformer): GroupNorm +
+    1x1 in-projection, num_layers x (self-attn, cross-attn over the text
+    sequence, gelu MLP), zero-init 1x1 out-projection, residual. Used as
+    the per-resolution context transformer in the CLIP-conditioned UNets.
+    """
+
+    in_channels: int
+    num_layers: int = 1
+    attention_heads: int = 1
+    attention_channels: int = 64
+    context_dim: int = -1
+    dropout: float = 0.0
+    context_adapter: Optional[dict] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, context: Optional[Dict] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        b, hh, ww, c = x.shape
+        inner = self.attention_heads * self.attention_channels
+        groups = 32 if c % 32 == 0 else max(1, c // 4)
+        h = nn.GroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(x)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(
+            h.reshape(b, hh * ww, c)
+        )
+
+        enc = None
+        if self.context_dim not in (None, -1) and context is not None:
+            if self.context_adapter and "target" in self.context_adapter:
+                from xdiffusion_tpu.config import instantiate_from_config
+
+                enc = instantiate_from_config(dict(self.context_adapter))(
+                    context
+                )
+            else:
+                enc = context.get(
+                    "text_embeddings", context.get("context_embedding")
+                )
+
+        def mha(q_seq, kv_seq, name):
+            n_heads = self.attention_heads
+            d_head = inner // n_heads
+            q = nn.Dense(inner, dtype=self.dtype, name=f"{name}_q")(q_seq)
+            k = nn.Dense(inner, dtype=self.dtype, name=f"{name}_k")(kv_seq)
+            v = nn.Dense(inner, dtype=self.dtype, name=f"{name}_v")(kv_seq)
+            split = lambda t: t.reshape(
+                b, t.shape[1], n_heads, d_head
+            ).transpose(0, 2, 1, 3)
+            out = dot_product_attention(split(q), split(k), split(v))
+            out = out.transpose(0, 2, 1, 3).reshape(b, q_seq.shape[1], inner)
+            return nn.Dense(inner, dtype=self.dtype, name=f"{name}_proj")(out)
+
+        for i in range(self.num_layers):
+            h = h + mha(
+                nn.LayerNorm(dtype=self.dtype, name=f"ln1_{i}")(h), h,
+                f"self_{i}",
+            )
+            if enc is not None:
+                h = h + mha(
+                    nn.LayerNorm(dtype=self.dtype, name=f"ln2_{i}")(h),
+                    enc.astype(h.dtype),
+                    f"cross_{i}",
+                )
+            ff_in = nn.LayerNorm(dtype=self.dtype, name=f"ln3_{i}")(h)
+            ff = nn.Dense(4 * inner, dtype=self.dtype, name=f"ff1_{i}")(ff_in)
+            ff = nn.gelu(ff, approximate=True)
+            if self.dropout > 0.0:
+                ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
+            h = h + nn.Dense(inner, dtype=self.dtype, name=f"ff2_{i}")(ff)
+
+        out = nn.Dense(
+            c, kernel_init=nn.initializers.zeros, dtype=self.dtype,
+            name="proj_out",
+        )(h)
+        return x + out.reshape(b, hh, ww, c)

@@ -70,3 +70,7 @@ class Unet(_VideoUnet):
 
     def _post_stage(self, h, f, stage_id):
         return _fold(self._motion_modules[stage_id](_unfold(h, f)))[0]
+
+
+# Reference configs name the class AnimateDiffUnet.
+AnimateDiffUnet = Unet

@@ -21,3 +21,7 @@ from xdiffusion_tpu.score_networks.unet_3d import Unet as _VideoUnet
 class Unet(_VideoUnet):
     """Marker subclass: FDM factorized UNet (frame-index RPE temporal
     attention via context["frame_indices"])."""
+
+
+# Reference configs use the UNet capitalization.
+UNet = Unet
