@@ -25,6 +25,11 @@ def main():
     p.add_argument("--sampler_config_path", type=str, default="")
     p.add_argument("--output_path", type=str, default="output/samples")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--lora_weights", type=str, default="",
+                   help="path to lora_weights.pkl saved by "
+                        "--use_lora_training; merged before sampling")
+    p.add_argument("--text_prompts", type=str, default="",
+                   help="comma-separated prompts for text-conditional models")
     args = p.parse_args()
 
     from xdiffusion_tpu import checkpoints
@@ -42,6 +47,16 @@ def main():
     state, step = checkpoints.restore_checkpoint(args.checkpoint, state)
     print(f"restored checkpoint @ step {step}", flush=True)
     params = state.ema_params if state.ema_params is not None else state.params
+    if args.lora_weights:
+        from xdiffusion_tpu import lora as lora_lib
+
+        lora = lora_lib.load_lora_weights(args.lora_weights)
+        params = lora_lib.merge_lora(params, lora)
+        print(
+            f"merged LoRA ({lora_lib.lora_param_count(lora)/1e6:.3f}M params, "
+            f"rank {lora['rank']})",
+            flush=True,
+        )
 
     sampler = None
     if args.sampler_config_path:
@@ -49,6 +64,11 @@ def main():
         sampler = instantiate_from_config(sampler_cfg.sampling.to_dict())
 
     context = {}
+    if args.text_prompts:
+        prompts = [s.strip() for s in args.text_prompts.split(",")]
+        context["text_prompts"] = (
+            prompts * (args.num_samples // len(prompts) + 1)
+        )[: args.num_samples]
     if config.diffusion.score_network.params.is_class_conditional:
         context["classes"] = jax.numpy.asarray(
             np.arange(args.num_samples, dtype=np.int32) % 10

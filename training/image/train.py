@@ -35,6 +35,9 @@ def main():
     p.add_argument("--force_cpu", action="store_true")
     p.add_argument("--profile_start_step", type=int, default=-1)
     p.add_argument("--debug_nans", action="store_true")
+    p.add_argument("--use_lora_training", action="store_true")
+    p.add_argument("--lora_rank", type=int, default=4)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     args = p.parse_args()
 
     if args.force_cpu:
@@ -61,6 +64,9 @@ def main():
         num_samples=args.num_samples,
         seed=args.seed,
         profile_start_step=args.profile_start_step,
+        use_lora_training=args.use_lora_training,
+        lora_rank=args.lora_rank,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
         debug_nans=args.debug_nans,
     )
 

@@ -44,6 +44,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     ema_decay: Optional[float] = None,
+    param_transform: Optional[Callable[[Any], Any]] = None,
 ) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
     """Builds the jitted train step.
 
@@ -51,6 +52,11 @@ def make_train_step(
     is conditioning context (already resolved to arrays by host-side
     preprocessors). Optional 'timesteps'/'loss_weights' keys feed
     host-side importance sampling.
+
+    param_transform maps the OPTIMIZED pytree to the EFFECTIVE model
+    parameters inside the traced loss (LoRA fine-tuning optimizes the
+    low-rank factors; the transform closes over the frozen base params and
+    applies the deltas — the base never enters the optimizer state).
 
     The returned step donates `state` (in-place buffer reuse on device) and
     expects the batch sharded over the mesh 'data' axis.
@@ -70,6 +76,8 @@ def make_train_step(
         }
 
         def loss_fn(params):
+            if param_transform is not None:
+                params = param_transform(params)
             loss, metrics = model.loss_on_batch(
                 params,
                 rng,

@@ -77,6 +77,9 @@ def train(
     num_samples: int = 64,
     profile_start_step: int = -1,
     debug_nans: bool = False,
+    use_lora_training: bool = False,
+    lora_rank: int = 4,
+    gradient_accumulation_steps: int = 1,
 ) -> str:
     """Train an image diffusion model from a YAML config.
 
@@ -143,8 +146,40 @@ def train(
     print(f"score network parameters: {n_params/1e6:.2f}M", flush=True)
 
     tx = build_optimizer(config)
+    if gradient_accumulation_steps > 1:
+        import optax
+
+        tx = optax.MultiSteps(tx, gradient_accumulation_steps)
     ema_cfg = config.get("training")
     use_ema = bool(ema_cfg and ema_cfg.get("ema_decay"))
+
+    # LoRA fine-tuning: freeze the base parameters and optimize only the
+    # low-rank factors (reference: --use_lora_training + lora.py
+    # inject_trainable_lora). The effective params are rebuilt inside the
+    # traced loss via param_transform.
+    param_transform = None
+    lora_meta = None
+    if use_lora_training:
+        from xdiffusion_tpu import lora as lora_lib
+
+        base_params = params
+        lora = lora_lib.inject_trainable_lora(
+            base_params, jax.random.PRNGKey(seed + 11), r=lora_rank
+        )
+        lora_meta = {"rank": lora["rank"], "scale": lora["scale"]}
+
+        def param_transform(weights):
+            return lora_lib.apply_lora(
+                base_params, {**lora_meta, "weights": weights}
+            )
+
+        params = lora["weights"]
+        n_lora = sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+        print(
+            f"LoRA fine-tuning: rank {lora_rank}, {n_lora/1e6:.3f}M trainable "
+            f"(base frozen)",
+            flush=True,
+        )
     state = create_train_state(params, tx, ema=use_ema)
 
     start_step = 0
@@ -163,7 +198,9 @@ def train(
     state = jax.device_put(state, replicated(mesh))
 
     ema_decay = float(ema_cfg.get("ema_decay")) if use_ema else None
-    train_step = make_train_step(model, tx, mesh, ema_decay=ema_decay)
+    train_step = make_train_step(
+        model, tx, mesh, ema_decay=ema_decay, param_transform=param_transform
+    )
 
     importance = (
         model.importance_sampler() if hasattr(model, "importance_sampler") else None
@@ -233,9 +270,20 @@ def train(
         if (step + 1) % save_and_sample_every_n == 0 or (
             step + 1
         ) == num_training_steps:
+            sample_state = state
+            if param_transform is not None:
+                # Sampling needs the EFFECTIVE params (base + LoRA deltas).
+                sample_state = state.replace(
+                    params=param_transform(state.params),
+                    ema_params=(
+                        param_transform(state.ema_params)
+                        if state.ema_params is not None
+                        else None
+                    ),
+                )
             sample_and_save(
                 model,
-                state,
+                sample_state,
                 out_dir,
                 step + 1,
                 num_samples=num_samples,
@@ -243,6 +291,13 @@ def train(
                 is_class_conditional=is_class_conditional,
             )
             checkpoints.save_checkpoint(ckpt_dir, state, step + 1)
+            if use_lora_training:
+                from xdiffusion_tpu import lora as lora_lib
+
+                lora_lib.save_lora_weights(
+                    {**lora_meta, "weights": jax.device_get(state.params)},
+                    os.path.join(out_dir, "lora_weights.pkl"),
+                )
             print(f"checkpoint + samples saved @ step {step+1}", flush=True)
 
     profiler.close()
