@@ -96,3 +96,44 @@ def test_causal_conv_is_temporally_causal():
     x3 = x.at[:, 0].set(0.0)
     y3 = conv.apply(params, x3)
     assert not np.allclose(np.asarray(y1[:, 0]), np.asarray(y3[:, 0]))
+
+
+def test_causal_vae_gan_training_losses():
+    """VAE-GAN two-phase loss over a causal video VAE (3D PatchGAN)."""
+    cfg = tiny_hunyuan_cfg()
+    cfg["params"]["loss_config"] = {
+        "target": "xdiffusion.autoencoders.losses.LPIPSWithDiscriminator",
+        "params": {
+            "rec_loss": "l2",
+            "kl_weight": 1e-6,
+            "disc_start": 0,
+            "disc_weight": 0.05,
+            "disc_in_channels": 1,
+            "disc_num_layers": 2,
+            "use_3d": True,
+        },
+    }
+    vae = instantiate_from_config(cfg, use_config_struct=True)
+    params = vae.init_params(jax.random.PRNGKey(0))
+    assert "disc" in params
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 9, 16, 16, 1))
+
+    for idx in (0, 1):
+        loss, logs = jax.jit(
+            lambda p, r, xx, step, i=idx: vae.training_losses(
+                p, r, xx, optimizer_idx=i, global_step=step
+            )
+        )(params, jax.random.PRNGKey(2), x, jnp.zeros((), jnp.int32))
+        assert np.isfinite(float(loss)), logs
+    # AE-phase gradients flow into the encoder/decoder.
+    def ae_loss(ae):
+        loss, _ = vae.training_losses(
+            {"ae": ae, "disc": params["disc"]},
+            jax.random.PRNGKey(3), x, optimizer_idx=0,
+            global_step=jnp.zeros((), jnp.int32),
+        )
+        return loss
+
+    grads = jax.grad(ae_loss)(params["ae"])
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(total) and total > 0

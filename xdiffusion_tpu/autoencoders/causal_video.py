@@ -194,8 +194,52 @@ class _CausalVAEBase(VariationalAutoEncoder):
 
     def init_params(self, rng: jax.Array, batch_size: int = 1) -> Dict:
         x = jnp.zeros((batch_size,) + self._example_shape)
-        rng_p, rng_s = jax.random.split(rng)
-        return {"ae": self.module.init(rng_p, x, rng_s)}
+        rng_p, rng_s, rng_l = jax.random.split(rng, 3)
+        params = {"ae": jax.jit(self.module.init)(rng_p, x, rng_s)}
+        if self.loss_module is not None:
+            recon, moments = jax.eval_shape(
+                lambda p, xx, r: self.module.apply(p, xx, r),
+                params["ae"], x, rng_s,
+            )
+            posterior = _moments_to_distribution(
+                jnp.zeros(moments.shape), self.module.latent_channels
+            )
+            # Eager init: the posterior object is not a pytree, so the loss
+            # module initializes outside jit (one-time cost). The decoder
+            # ceil-pads time — crop the recon placeholder like
+            # training_losses does.
+            recon_shape = (batch_size, x.shape[1]) + recon.shape[2:]
+            params["disc"] = self.loss_module.init(
+                rng_l, x, jnp.zeros(recon_shape),
+                posterior, 1, jnp.zeros((), jnp.int32),
+            )
+        return params
+
+    def training_losses(
+        self,
+        params: Dict,
+        rng: jax.Array,
+        inputs: jax.Array,
+        optimizer_idx: int,
+        global_step: jax.Array,
+        deterministic: bool = False,
+    ) -> Tuple[jax.Array, Dict]:
+        """VAE-GAN two-phase loss over (B, F, H, W, C) clips (same contract
+        as AutoencoderKL.training_losses; reference video autoencoder
+        trainer). The causal decoder may emit ceil-padded extra frames —
+        the reconstruction is cropped back to the input length."""
+        assert self.loss_module is not None, "config needs loss_config"
+        rng_s = rng
+        recon, moments = self.module.apply(params["ae"], inputs, rng_s)
+        recon = recon[:, : inputs.shape[1]]
+        posterior = _moments_to_distribution(
+            moments, self.module.latent_channels
+        )
+        loss, logs = self.loss_module.apply(
+            params["disc"], inputs, recon, posterior, optimizer_idx,
+            global_step,
+        )
+        return loss, logs
 
     def encode_to_latents(self, params, x: jax.Array, rng: jax.Array):
         moments = self.module.apply(
