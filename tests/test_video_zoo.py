@@ -137,3 +137,53 @@ def test_fdm_frame_indices_change_attention():
     np.testing.assert_allclose(
         np.asarray(out1), np.asarray(out3), atol=1e-5
     )
+
+
+def test_partial_restore_transfers_backbone_keeps_motion(tmp_path):
+    """Image->video transfer contract: a unet_3d checkpoint warm-starts the
+    AnimateDiff net; only motion/temporal params stay at init."""
+    import numpy as np
+
+    from xdiffusion_tpu import checkpoints
+    from xdiffusion_tpu.parallel import create_train_state
+    import optax
+
+    params_cfg = copy.deepcopy(
+        tiny_video_config(frames=4).to_dict()["diffusion"]["score_network"][
+            "params"
+        ]
+    )
+    base_net = get_obj_from_str("xdiffusion.score_networks.unet_3d.Unet")(
+        config=DotConfig(copy.deepcopy(params_cfg))
+    )
+    ad_net = get_obj_from_str("xdiffusion.score_networks.animate_diff.Unet")(
+        config=DotConfig(copy.deepcopy(params_cfg))
+    )
+    x = jnp.zeros((1, 4, 8, 8, 1))
+    ctx = _video_ctx(batch=1, frames=4)
+    base_params = jax.jit(base_net.init)(jax.random.PRNGKey(0), x, ctx)
+    # Make the base distinguishable from a fresh init.
+    base_params = jax.tree.map(lambda a: a + 0.25, base_params)
+    state = create_train_state(base_params, optax.sgd(1e-3))
+    checkpoints.save_checkpoint(str(tmp_path / "ckpt"), state, 1)
+
+    ad_params = jax.jit(ad_net.init)(jax.random.PRNGKey(1), x, ctx)
+    merged, step, missing = checkpoints.restore_params_partial(
+        str(tmp_path / "ckpt"), ad_params
+    )
+    assert step == 1 and missing
+    assert all(
+        any(m in path.lower() for m in ("motion", "temporal", "tconv"))
+        for path in missing
+    )
+    # A backbone leaf actually took the checkpointed value.
+    from flax.traverse_util import flatten_dict
+
+    flat_m = flatten_dict(merged)
+    flat_b = flatten_dict(base_params)
+    shared = [k for k in flat_m if k in flat_b]
+    assert shared
+    k = shared[0]
+    np.testing.assert_allclose(
+        np.asarray(flat_m[k]), np.asarray(flat_b[k]), atol=1e-6
+    )

@@ -56,3 +56,59 @@ def restore_checkpoint(
     state = mgr.restore(step, args=ocp.args.StandardRestore(target))
     mgr.close()
     return state, int(step)
+
+
+# Parameter paths that are EXPECTED to be absent when warm-starting a video
+# UNet from an image-UNet checkpoint (identity/zero-initialized temporal
+# extensions; reference ddpm.py:810-814 load_checkpoint partial-load
+# contract).
+_TEMPORAL_KEY_MARKERS = (
+    "tconv", "temporal", "motion", "attn_t", "time_mix", "adapter",
+)
+
+
+def restore_params_partial(
+    directory: str,
+    params: Any,
+    step: Optional[int] = None,
+    require_temporal_only: bool = True,
+) -> Tuple[Any, int, list]:
+    """Warm-start: fill `params` with every matching leaf of a checkpointed
+    TrainState's params; leaves absent from the checkpoint (or with a
+    different shape) keep their fresh initialization.
+
+    This is the image->video transfer path (AnimateDiff / Video-LDM /
+    pseudo-3D): the 2D backbone restores, the identity-initialized temporal
+    modules stay at init. Returns (params, step, missing_paths).
+    """
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    mgr = _manager(directory)
+    step = step if step is not None else mgr.latest_step()
+    assert step is not None, f"no checkpoint found in {directory}"
+    raw = mgr.restore(step)  # structure-free restore: nested dicts
+    mgr.close()
+    # The checkpoint holds a TrainState-shaped dict; find its params tree.
+    ckpt_params = raw.get("params", raw) if isinstance(raw, dict) else raw
+
+    flat_new = flatten_dict(params)
+    flat_old = flatten_dict(ckpt_params)
+    merged = {}
+    missing = []
+    for path, leaf in flat_new.items():
+        old = flat_old.get(path)
+        if old is not None and tuple(old.shape) == tuple(leaf.shape):
+            merged[path] = jax.numpy.asarray(old, dtype=leaf.dtype)
+        else:
+            merged[path] = leaf
+            missing.append("/".join(str(p) for p in path))
+    if require_temporal_only:
+        unexpected = [
+            m for m in missing
+            if not any(marker in m.lower() for marker in _TEMPORAL_KEY_MARKERS)
+        ]
+        assert not unexpected, (
+            "partial restore: missing keys are not all temporal/motion "
+            f"modules: {unexpected[:10]}"
+        )
+    return unflatten_dict(merged), int(step), missing

@@ -98,10 +98,18 @@ def train(
     if resume_from:
         state, start_step = checkpoints.restore_checkpoint(resume_from, state)
     elif load_model_weights_from_checkpoint:
-        loaded, _ = checkpoints.restore_checkpoint(
-            load_model_weights_from_checkpoint, state
+        # Image->video transfer: the checkpoint may be a 2D image UNet; the
+        # matching backbone restores, the identity/zero-init temporal
+        # modules keep their fresh values (reference ddpm.py:810-814).
+        new_params, ckpt_step, missing = checkpoints.restore_params_partial(
+            load_model_weights_from_checkpoint, state.params
         )
-        state = state.replace(params=loaded.params)
+        state = state.replace(params=new_params)
+        print(
+            f"warm-started from step {ckpt_step}; "
+            f"{len(missing)} temporal/motion params kept at init",
+            flush=True,
+        )
     state = jax.device_put(state, replicated(mesh))
 
     train_step = make_train_step(model, tx, mesh)
