@@ -129,4 +129,11 @@ def compute_fid(
         model, params = extractor
     fa = extract_features(model, params, real_images)
     fb = extract_features(model, params, generated_images)
+    # Standardize both sets by the REAL set's per-dimension statistics: the
+    # LeNet features are unnormalized (unlike Inception pool3), so the raw
+    # Frechet distance would be dominated by feature scale. After
+    # standardization the real-vs-real floor is ~0.
+    mu, sigma = fa.mean(axis=0), fa.std(axis=0) + 1e-6
+    fa = (fa - mu) / sigma
+    fb = (fb - mu) / sigma
     return frechet_distance(fa, fb)
