@@ -18,6 +18,7 @@ from xdiffusion_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     replicated,
     shard_batch,
+    tensor_param_shardings,
 )
 from xdiffusion_tpu.parallel.train_step import (  # noqa: F401
     TrainState,

@@ -26,8 +26,9 @@ def make_mesh(
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if shape is None:
-        shape = (n, 1)
-    assert shape[0] * shape[1] == n, f"mesh {shape} != {n} devices"
+        shape = (n,) + (1,) * (len(axis_names) - 1)
+    assert len(shape) == len(axis_names), (shape, axis_names)
+    assert int(np.prod(shape)) == n, f"mesh {shape} != {n} devices"
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axis_names=tuple(axis_names))
 
@@ -71,3 +72,55 @@ def fsdp_param_shardings(params, mesh: Mesh):
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map(rule, params)
+
+
+# Megatron-style tensor-parallel rules for transformer blocks: qkv and
+# MLP-in kernels split their OUTPUT features ("column parallel"), the
+# attention output projection and MLP-out kernels split their INPUT
+# features ("row parallel"). With these parameter annotations GSPMD
+# propagates the activation shardings and inserts exactly one all-reduce
+# per block on the row-parallel matmuls — no shard_map or manual psum.
+_TP_COLUMN_PATTERNS = (r"qkv/kernel$", r"qkv/bias$", r"mlp_fc1/kernel$",
+                       r"mlp_fc1/bias$", r"kv/kernel$", r"kv/bias$",
+                       r"q/kernel$", r"q/bias$", r"ff1_\d+/kernel$")
+_TP_ROW_PATTERNS = (r"attn/proj/kernel$", r"mlp_fc2/kernel$",
+                    r"cross_attn/proj/kernel$", r"ff2_\d+/kernel$")
+
+
+def tensor_param_shardings(params, mesh: Mesh, fsdp_fallback: bool = True):
+    """Tensor-parallel parameter shardings over the 'tensor' mesh axis,
+    with ZeRO-3 fallback over 'fsdp' for everything unmatched.
+
+    Column-parallel kernels shard their last dim, row-parallel kernels
+    their first (contracting) dim. Parameters whose dims don't divide the
+    axis size fall through to the fsdp rule.
+    """
+    import re
+
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    tp = mesh.shape.get("tensor", 1)
+    fsdp_rules = (
+        fsdp_param_shardings(params, mesh)
+        if fsdp_fallback and "fsdp" in mesh.shape
+        else jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), params)
+    )
+    flat = flatten_dict(params, sep="/") if isinstance(params, dict) else None
+    if flat is None or tp == 1:
+        return fsdp_rules
+    flat_rules = flatten_dict(fsdp_rules, sep="/")
+    out = {}
+    for path, leaf in flat.items():
+        rule = flat_rules[path]
+        if any(re.search(p, path) for p in _TP_COLUMN_PATTERNS):
+            if leaf.shape[-1] % tp == 0:
+                spec = [None] * leaf.ndim
+                spec[-1] = "tensor"
+                rule = NamedSharding(mesh, P(*spec))
+        elif any(re.search(p, path) for p in _TP_ROW_PATTERNS):
+            if leaf.ndim >= 2 and leaf.shape[0] % tp == 0:
+                spec = [None] * leaf.ndim
+                spec[0] = "tensor"
+                rule = NamedSharding(mesh, P(*spec))
+        out[path] = rule
+    return unflatten_dict(out, sep="/")
