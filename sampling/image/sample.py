@@ -25,7 +25,7 @@ def main():
     p.add_argument("--sampler_config_path", type=str, default="")
     p.add_argument("--output_path", type=str, default="output/samples")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--lora_weights", type=str, default="",
+    p.add_argument("--lora_weights", "--lora_path", type=str, default="",
                    help="path to lora_weights.pkl saved by "
                         "--use_lora_training; merged before sampling")
     p.add_argument("--text_prompts", type=str, default="",

@@ -47,6 +47,9 @@ def main():
         load_model_weights_from_checkpoint=(
             args.load_model_weights_from_checkpoint or None
         ),
+        load_vae_weights_from_checkpoint=(
+            args.load_vae_weights_from_checkpoint or None
+        ),
         num_samples=args.num_samples,
         sampling_steps=args.sampling_steps,
         seed=args.seed,

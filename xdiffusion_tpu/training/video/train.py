@@ -68,6 +68,7 @@ def train(
     joint_image_video_training_step: int = -1,
     resume_from: Optional[str] = None,
     load_model_weights_from_checkpoint: Optional[str] = None,
+    load_vae_weights_from_checkpoint: Optional[str] = None,
     seed: int = 0,
     num_samples: int = 4,
     sampling_steps: int = 0,
@@ -85,6 +86,45 @@ def train(
     )
     batches = video_batch_iterator(dataset, batch_size, seed=seed)
     mask_generator = make_mask_generator(model.models()[0].config())
+
+    # Latent video diffusion: load the frozen causal VAE and fix the
+    # latent scale from a representative batch (mirrors the image trainer;
+    # reference --load_vae_weights_from_checkpoint).
+    stage0 = model.models()[0]
+    if getattr(stage0, "latent_encoder", lambda: None)() is not None:
+        vae = stage0.latent_encoder()
+        vae_params = vae.init_params(jax.random.PRNGKey(seed + 7))
+        if load_vae_weights_from_checkpoint:
+            import optax
+
+            from xdiffusion_tpu.training.image.autoencoder import (
+                VAETrainState,
+            )
+
+            skeleton = VAETrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=vae_params,
+                opt_ae=optax.adam(1e-4).init(vae_params["ae"]),
+                opt_disc=(
+                    optax.adam(1e-4).init(vae_params["disc"])
+                    if "disc" in vae_params
+                    else None
+                ),
+            )
+            loaded, _ = checkpoints.restore_checkpoint(
+                load_vae_weights_from_checkpoint, skeleton
+            )
+            vae_params = loaded.params
+            print(
+                f"loaded frozen VAE from {load_vae_weights_from_checkpoint}",
+                flush=True,
+            )
+        stage0.set_latent_encoder_params(vae_params)
+        first_videos, _ = next(batches)
+        scale = stage0.compute_latent_scale(
+            jnp.asarray(first_videos), jax.random.PRNGKey(seed + 8)
+        )
+        print(f"latent scale factor: {scale:.4f}", flush=True)
 
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
