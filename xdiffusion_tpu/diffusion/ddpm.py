@@ -128,6 +128,7 @@ class GaussianDiffusion_DDPM:
         self._latent_encoder_params = None
         self._latent_scale_factor: Optional[float] = None
         self._extra_samplers: Dict[Any, Any] = {}
+        self._sample_fn_cache: Dict[Any, Callable] = {}
 
     # -- protocol accessors (reference DiffusionModel interface) ----------
 
@@ -187,8 +188,7 @@ class GaussianDiffusion_DDPM:
         self._sample_fn_cache_clear()
 
     def _sample_fn_cache_clear(self):
-        if hasattr(self, "_cached_sample_fn"):
-            self._cached_sample_fn.cache_clear()
+        self._sample_fn_cache = {}
 
     # -- parameters --------------------------------------------------------
 
@@ -367,13 +367,15 @@ class GaussianDiffusion_DDPM:
         """
         b = images.shape[0]
         context = dict(context)
-        rng_t, rng_eps, rng_cfg, rng_drop = jax.random.split(rng, 4)
+        # One split for every consumer: split(k, 2) yields the same leading
+        # keys as split(k, 4), so re-splitting `rng` for the VAE would make
+        # rng_enc == rng_eps and leak the diffusion noise target into z_0.
+        rng_t, rng_eps, rng_cfg, rng_drop, rng_enc = jax.random.split(rng, 5)
 
         if self._latent_encoder is not None:
             assert self._latent_scale_factor is not None, (
                 "call compute_latent_scale()/set_latent_scale() before training"
             )
-            rng, rng_enc = jax.random.split(rng)
             z_0 = self._latent_encoder.encode_to_latents(
                 self._latent_encoder_params, images, rng_enc
             )
@@ -631,8 +633,24 @@ class GaussianDiffusion_DDPM:
             )
         return (num_samples, spatial[0], spatial[1], sampling.output_channels)
 
-    @functools.lru_cache(maxsize=16)
     def _cached_sample_fn(
+        self, num_samples, num_steps, cfg, sampler_key
+    ) -> Callable:
+        # Per-instance cache: an lru_cache on the method would be
+        # class-global, so one instance's cache_clear() (e.g. a cascade
+        # stage updating its latent scale) would wipe every instance's
+        # compiled sample programs and pin `self` in the cache.
+        key = (num_samples, num_steps, cfg, sampler_key)
+        cached = self._sample_fn_cache.get(key)
+        if cached is not None:
+            return cached
+        fn = self._build_sample_fn(num_samples, num_steps, cfg, sampler_key)
+        if len(self._sample_fn_cache) >= 16:
+            self._sample_fn_cache.pop(next(iter(self._sample_fn_cache)))
+        self._sample_fn_cache[key] = fn
+        return fn
+
+    def _build_sample_fn(
         self, num_samples, num_steps, cfg, sampler_key
     ) -> Callable:
         sampler = (

@@ -390,7 +390,16 @@ class ContinuousNoiseScheduler(struct.PyTreeNode):
         log_one_minus_r = log1mexp(logsnr_s - logsnr_t)
         posterior_variance = one_minus_r * jax.nn.sigmoid(-logsnr_s)
         posterior_log_variance = log_one_minus_r + jax.nn.log_sigmoid(-logsnr_s)
-        return mean, posterior_variance, jnp.clip(posterior_log_variance, 1e-20, None)
+        # Floor the *variance* at 1e-20 (i.e. log-variance at log(1e-20)).
+        # The reference clamps the log-variance itself to min=1e-20
+        # (reference scheduler.py:494), which forces it to ~0 (unit
+        # variance) since the true value is always negative — that quirk
+        # corrupts the VLB true-posterior term, so we use the correct floor.
+        return (
+            mean,
+            posterior_variance,
+            jnp.clip(posterior_log_variance, math.log(1e-20), None),
+        )
 
     def predict_x_from_epsilon(
         self, z: jax.Array, epsilon: jax.Array, context: Dict
