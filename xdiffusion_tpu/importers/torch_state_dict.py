@@ -1,0 +1,375 @@
+"""PyTorch-reference state_dict -> flax params importer.
+
+The reference stores `torch.save({"model_state_dict": ...})` checkpoints
+(reference training/image/train.py:582-604) whose module tree parallels
+ours layer for layer. This module converts those tensors into our flax
+parameter pytrees, handling the layout differences:
+
+- Conv2d OIHW -> flax HWIO; Conv1d(k=1) used as a channel mixer -> Dense.
+- Linear (out, in) -> Dense (in, out).
+- GroupNorm/LayerNorm `weight` -> `scale`.
+- The UNet's fused qkv Conv1d interleaves (q,k,v) per head
+  (reference layers/attention.py:152-188: reshape(B*H, 3*ch).split(ch)),
+  while our Dense emits (q_all_heads, k_all, v_all) — rows are
+  de-interleaved on import.
+
+Only numpy/flax at import time; torch is needed just for reading `.pt`
+files via `load_torch_checkpoint`.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+Array = np.ndarray
+Transform = Callable[[Array], Array]
+
+
+# -- tensor layout transforms ------------------------------------------------
+
+
+def _as_np(t) -> Array:
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _dense(w: Array) -> Array:
+    """torch Linear (out, in) -> flax Dense (in, out)."""
+    return w.T
+
+
+def _conv2d(w: Array) -> Array:
+    """torch OIHW -> flax HWIO."""
+    return w.transpose(2, 3, 1, 0)
+
+
+def _conv3d(w: Array) -> Array:
+    """torch OIDHW -> flax DHWIO."""
+    return w.transpose(2, 3, 4, 1, 0)
+
+
+def _conv1d_dense(w: Array) -> Array:
+    """torch Conv1d(k=1) channel mixer (O, I, 1) -> Dense (I, O)."""
+    return w[:, :, 0].T
+
+
+def _identity(w: Array) -> Array:
+    return w
+
+
+def _qkv_deinterleave(parts: int, num_heads: int) -> Transform:
+    """De-interleave a fused qkv/kv projection from per-head (q,k,v)
+    grouping (reference QKVAttention layout) to per-part grouping (ours).
+
+    Accepts Conv1d weight (parts*C, I, 1), Linear weight (parts*C, I), or
+    bias (parts*C,). Returns the flax-layout array (Dense kernel (I, O)
+    for weights, (O,) for biases).
+    """
+
+    def tf(w: Array) -> Array:
+        out = w.shape[0]
+        ch = out // (parts * num_heads)
+        if w.ndim == 3:  # conv1d weight
+            w2 = w[:, :, 0]
+        elif w.ndim == 2:
+            w2 = w
+        else:  # bias
+            return (
+                w.reshape(num_heads, parts, ch)
+                .transpose(1, 0, 2)
+                .reshape(out)
+            )
+        cin = w2.shape[1]
+        w2 = (
+            w2.reshape(num_heads, parts, ch, cin)
+            .transpose(1, 0, 2, 3)
+            .reshape(out, cin)
+        )
+        return w2.T
+
+    return tf
+
+
+# -- checkpoint reading ------------------------------------------------------
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, Array]:
+    """Read a reference checkpoint into {key: np.ndarray}.
+
+    Accepts either a raw state_dict or the reference trainer's
+    {"model_state_dict": ...} wrapper; strips DDP "module." prefixes
+    (reference training/video/train.py:147-161 does the same).
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        obj = obj["model_state_dict"]
+    out = {}
+    for k, v in obj.items():
+        if k.startswith("module."):
+            k = k[len("module.") :]
+        out[k] = _as_np(v)
+    return out
+
+
+def strip_prefix(sd: Dict[str, Array], prefix: str) -> Dict[str, Array]:
+    """Narrow a whole-model state_dict to one submodule, e.g.
+    `strip_prefix(sd, "_score_network.")` for the reference
+    GaussianDiffusion_DDPM wrapper."""
+    return {k[len(prefix) :]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+# -- generic application -----------------------------------------------------
+
+
+def _apply_mapping(
+    flax_params: Dict,
+    sd: Dict[str, Array],
+    resolve: Callable[[Tuple[str, ...]], Optional[Tuple[str, Transform]]],
+    strict: bool = True,
+) -> Dict:
+    """Rebuild `flax_params` with tensors from `sd`.
+
+    `resolve(path)` returns (torch_key, transform) for a flax leaf path
+    (excluding the leading "params" collection name), or None to keep the
+    existing value (e.g. paths with no reference counterpart).
+    """
+    flat = flatten_dict(flax_params)
+    new = {}
+    missing = []
+    for path, value in flat.items():
+        # path like ("params", "_downs_0_0_1", "conv1", "kernel")
+        sub = path[1:] if path and path[0] == "params" else path
+        found = resolve(tuple(str(p) for p in sub))
+        if found is None:
+            new[path] = value
+            continue
+        key, tf = found
+        if key not in sd:
+            missing.append((path, key))
+            continue
+        t = tf(sd[key]).astype(np.asarray(value).dtype)
+        if t.shape != value.shape:
+            raise ValueError(
+                f"shape mismatch importing {key} -> {'/'.join(map(str, path))}: "
+                f"{t.shape} vs {value.shape}"
+            )
+        new[path] = t
+    if missing and strict:
+        lines = [f"  {'/'.join(map(str, p))} <- {k}" for p, k in missing]
+        raise KeyError(
+            "torch state_dict is missing keys for flax params:\n"
+            + "\n".join(lines)
+        )
+    return unflatten_dict(new)
+
+
+# -- UNet (reference score_networks/unet.py:35) ------------------------------
+
+# Sub-module leaf tables: flax child name -> (torch suffix base, transform
+# for the weight/kernel leaf). Norm scale/bias handled uniformly.
+_BIGGAN_RES = {
+    "norm1": ("in_layers.0", None),
+    "conv1": ("in_layers.2", _conv2d),
+    "emb_proj": ("emb_layers.1", _dense),
+    "norm2": ("out_layers.0", None),
+    "conv2": ("out_layers.3", _conv2d),
+    "skip": ("skip_connection", _conv2d),
+}
+_DDPM_RES = {
+    "norm1": ("block1.0", None),
+    "conv1": ("block1.2", _conv2d),
+    "emb_proj": ("timestep_proj.1", _dense),
+    "norm2": ("block2.0", None),
+    "conv2": ("block2.3", _conv2d),
+    "skip": ("residual_proj", _dense),
+}
+
+_STAGE_RE = re.compile(r"^_(downs|ups)_(\d+)_(\d+)_1$")
+_MIDDLE_RE = re.compile(r"^_middle_(\d+)_1$")
+_PROJ_RE = re.compile(r"^_projections_(\w+)$")
+
+
+def _leaf_name(torch_base: str, flax_leaf: str) -> str:
+    if flax_leaf in ("scale", "kernel", "weight", "embedding"):
+        return torch_base + ".weight"
+    return torch_base + "." + flax_leaf
+
+
+def import_unet_params(
+    flax_params: Dict,
+    sd: Dict[str, Array],
+    *,
+    heads: int = 8,
+    dim_head: int = 64,
+    strict: bool = True,
+) -> Dict:
+    """Import a reference UNet state_dict (score_networks/unet.py:35) into
+    our `score_networks.unet.Unet` param tree.
+
+    heads/dim_head mirror the config's context_transformer_layer params —
+    needed to de-interleave the fused qkv rows per attention site.
+    """
+
+    def attn_heads(channels: int) -> int:
+        return heads if dim_head == -1 else channels // dim_head
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+
+        m = _PROJ_RE.match(top)
+        if m:
+            name = m.group(1)
+            base = f"_projections.{name}"
+            if path[1] == "fc1":
+                return (_leaf_name(f"{base}._projection.1", leaf), _dense)
+            if path[1] == "fc2":
+                return (_leaf_name(f"{base}._projection.3", leaf), _dense)
+            if path[1] in ("embed", "table"):
+                return (f"{base}.embedding_table.weight", _identity)
+        if top == "_label_projection":
+            return ("_label_projection.weight", _identity)
+        if top == "initial_conv":
+            return ("_initial_convolution.weight", _conv2d)
+        if top == "final_norm":
+            return (_leaf_name("final_projection.0", leaf), _identity)
+        if top == "final_conv":
+            return ("final_projection.2.weight", _conv2d)
+
+        m = _STAGE_RE.match(top) or _MIDDLE_RE.match(top)
+        if m is None:
+            return None
+        if m.re is _MIDDLE_RE:
+            base = f"middle.{m.group(1)}"
+            pyramid = "middle"
+        else:
+            pyramid, i, j = m.group(1), m.group(2), m.group(3)
+            base = f"{pyramid}.{i}.{j}"
+
+        child = path[1]
+        # Residual blocks — two torch dialects (BigGAN vs DDPM naming).
+        table = (
+            _BIGGAN_RES
+            if f"{base}.in_layers.0.weight" in sd
+            else _DDPM_RES
+        )
+        if child in table:
+            suffix, tf = table[child]
+            if leaf in ("scale", "bias") and tf is None:
+                return (_leaf_name(f"{base}.{suffix}", leaf), _identity)
+            if leaf == "kernel":
+                return (f"{base}.{suffix}.weight", tf)
+            return (f"{base}.{suffix}.bias", _identity)
+        # Attention block leaves.
+        if child == "norm":
+            return (_leaf_name(f"{base}._norm", leaf), _identity)
+        if child in ("qkv", "encoder_kv"):
+            parts = 3 if child == "qkv" else 2
+            torch_key = f"{base}._{child.lstrip('_')}"
+            # channels from the torch tensor itself at call time; use a
+            # closure resolving num_heads from output width.
+            def tf(w, parts=parts):
+                out = w.shape[0]
+                c = out // parts
+                return _qkv_deinterleave(parts, attn_heads(c))(w)
+
+            return (_leaf_name(torch_key, leaf), tf)
+        if child == "proj_out":
+            if leaf == "kernel":
+                return (f"{base}._proj_out.weight", _conv1d_dense)
+            return (f"{base}._proj_out.bias", _identity)
+        if child == "context_norm":
+            return (_leaf_name(f"{base}._context_layer_norm", leaf), _identity)
+        # Explicit resampling modules: ours are named "conv"; torch names
+        # the conv "op" in Downsample, "conv" in Upsample (layers/
+        # resnet.py:459,490).
+        if child == "conv":
+            op = "op" if pyramid == "downs" else "conv"
+            if leaf == "kernel":
+                return (f"{base}.{op}.weight", _conv2d)
+            return (f"{base}.{op}.bias", _identity)
+        return None
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
+# -- DiT (reference score_networks/dit.py:77) --------------------------------
+
+_DIT_BLOCK_RE = re.compile(r"^_blocks_(\d+)$")
+
+
+def import_dit_params(
+    flax_params: Dict, sd: Dict[str, Array], *, strict: bool = True
+) -> Dict:
+    """Import a reference DiT state_dict into our `score_networks.dit.DiT`
+    param tree. DiT's fused qkv Linear already groups rows (q, k, v) with
+    head-major order inside each part, matching our Dense — plain
+    transposes throughout."""
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+        if top == "patch_embed":
+            return (_leaf_name("x_embedder.proj", leaf), _conv2d if leaf == "kernel" else _identity)
+        m = _PROJ_RE.match(top)
+        if m:
+            name = m.group(1)
+            if path[1] == "fc1":
+                return (_leaf_name(f"_projections.{name}.mlp.0", leaf), _dense)
+            if path[1] == "fc2":
+                return (_leaf_name(f"_projections.{name}.mlp.2", leaf), _dense)
+            if path[1] in ("embed", "table"):
+                return (f"_projections.{name}.embedding_table.weight", _identity)
+        if top == "_final":
+            if path[1] == "proj":
+                return (_leaf_name("final_layer.linear", leaf), _dense if leaf == "kernel" else _identity)
+            if path[1] == "adaLN_modulation":
+                return (
+                    _leaf_name("final_layer.adaLN_modulation.1", leaf),
+                    _dense if leaf == "kernel" else _identity,
+                )
+        m = _DIT_BLOCK_RE.match(top)
+        if m:
+            base = f"blocks.{m.group(1)}"
+            child = path[1]
+            tf = _dense if leaf == "kernel" else _identity
+            if child == "attn":
+                return (_leaf_name(f"{base}.attn.{path[2]}", leaf), tf)
+            if child == "adaLN_modulation":
+                return (_leaf_name(f"{base}.adaLN_modulation.1", leaf), tf)
+            if child == "mlp_fc1":
+                return (_leaf_name(f"{base}.mlp.fc1", leaf), tf)
+            if child == "mlp_fc2":
+                return (_leaf_name(f"{base}.mlp.fc2", leaf), tf)
+        return None
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
+# -- dispatch ----------------------------------------------------------------
+
+
+def import_score_network_params(
+    config: Any, flax_params: Dict, sd: Dict[str, Array], *, strict: bool = True
+) -> Dict:
+    """Import `sd` into `flax_params` for the score network named by
+    `config.diffusion.score_network.target` (reference dotted path)."""
+    target = config.diffusion.score_network.target
+    if target.endswith(".Unet") and "unet" in target:
+        layer = config.diffusion.score_network.params.conditioning.context_transformer_layer
+        p = layer.get("params", {})
+        return import_unet_params(
+            flax_params,
+            sd,
+            heads=int(p.get("heads", 8)),
+            dim_head=int(p.get("dim_head", 64)),
+            strict=strict,
+        )
+    if target.endswith(".DiT"):
+        return import_dit_params(flax_params, sd, strict=strict)
+    raise NotImplementedError(f"no torch importer for {target}")
