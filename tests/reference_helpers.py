@@ -28,11 +28,20 @@ def import_reference():
     caller turns into pytest.skip."""
     if not os.path.isdir(REFERENCE):
         raise ImportError("reference tree not mounted")
-    for name in ("soundfile", "librosa", "accelerate", "einops_exts", "lpips"):
+    for name in (
+        "soundfile",
+        "librosa",
+        "accelerate",
+        "einops_exts",
+        "lpips",
+        "torchinfo",
+    ):
         try:
             __import__(name)
         except Exception:
-            _stub(name)
+            mod = _stub(name)
+            if name == "torchinfo":
+                mod.summary = lambda *a, **k: None
     try:
         import torchvision.transforms  # noqa: F401
     except Exception:

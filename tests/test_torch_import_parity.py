@@ -113,3 +113,98 @@ def test_dit_forward_matches_reference():
     our_out = np.transpose(np.asarray(our_out), (0, 3, 1, 2))
 
     np.testing.assert_allclose(our_out, ref_out, atol=2e-4, rtol=2e-3)
+
+
+def test_ddim_sampling_trajectory_matches_reference():
+    """Full-stack golden parity: 5 deterministic DDIM steps from the SAME
+    weights and SAME initial noise in both stacks (continuous v-param
+    config). This exercises scheduler + sampler + network end to end
+    (reference sample loop: ddpm.py:866-987)."""
+    import torch
+
+    config = f"{CONFIGS}/ddpm_32x32_v_continuous.yaml"
+    torch.manual_seed(0)
+    ref_net, _ = _ref_net(config)
+
+    from xdiffusion.diffusion.ddpm import GaussianDiffusion_DDPM as RefDDPM
+    from xdiffusion.samplers.ddim import DDIMSampler as RefDDIM
+    from xdiffusion.utils import load_yaml as ref_load_yaml
+
+    ref_model = RefDDPM(ref_load_yaml(config))
+    ref_model._score_network.load_state_dict(ref_net.state_dict())
+    ref_model.eval()
+
+    import jax
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.diffusion.ddpm import GaussianDiffusion_DDPM
+    from xdiffusion_tpu.importers import import_score_network_params
+    from xdiffusion_tpu.samplers.ddim import DDIMSampler
+
+    cfg = load_yaml(config)
+    ours = GaussianDiffusion_DDPM(cfg)
+    params = ours.init_params(jax.random.PRNGKey(0))
+    params = import_score_network_params(cfg, params, {
+        k: v.detach().numpy() for k, v in ref_net.state_dict().items()
+    })
+
+    rng = np.random.default_rng(3)
+    noise = rng.standard_normal((2, 1, 32, 32), dtype=np.float32)
+
+    with torch.no_grad():
+        ref_samples, _ = ref_model.sample(
+            context={},
+            num_samples=2,
+            num_sampling_steps=5,
+            sampler=RefDDIM(),
+            initial_noise=torch.from_numpy(noise),
+        )
+    ref_samples = ref_samples.numpy()
+
+    our_samples = ours.sample(
+        params,
+        jax.random.PRNGKey(1),
+        num_samples=2,
+        context={},
+        num_sampling_steps=5,
+        sampler=DDIMSampler(),
+        initial_noise=np.transpose(noise, (0, 2, 3, 1)),
+    )
+    our_samples = np.transpose(np.asarray(our_samples), (0, 3, 1, 2))
+
+    np.testing.assert_allclose(our_samples, ref_samples, atol=5e-4, rtol=5e-3)
+
+
+def test_bpe_token_ids_match_reference():
+    """Token-level compatibility: our shipped GPT-2 BPE assets + encoder
+    must produce the exact ids the reference tokenizer does
+    (reference tokenizer/bpe.py:55-175)."""
+    from tests.reference_helpers import import_reference
+
+    try:
+        import_reference()
+    except ImportError as e:
+        pytest.skip(f"reference import failed: {e}")
+    from xdiffusion.tokenizer.bpe import get_encoder as ref_get_encoder
+
+    from xdiffusion_tpu.tokenizer import get_encoder
+
+    ref = ref_get_encoder()
+    ours = get_encoder()
+    if not ours.bpe_ranks:
+        pytest.skip("GPT-2 BPE assets not shipped")
+
+    prompts = [
+        "three",
+        "7",
+        "A photo of the number FIVE.",
+        "nine 9 nine",
+        "  spaced   out  ",
+    ]
+    for p in prompts:
+        assert ours.encode(p) == ref.encode(p), p
+    ref_tok = ref.tokenize(prompts, context_length=32, truncate_text=True)
+    our_tok = ours.tokenize(prompts, context_length=32, truncate_text=True)
+    np.testing.assert_array_equal(our_tok, ref_tok.numpy())
+    assert ours.end_token == ref.end_token
+    assert ours.n_vocab == ref.n_vocab

@@ -424,15 +424,19 @@ class GaussianDiffusion_DDPM:
             )
             for key in self._cfg_signals:
                 keys = (key,)
-                if key not in context and key == "text_prompts":
+                if key == "text_prompts":
                     keys = tuple(
                         k for k in _TEXT_REALIZATIONS if k in context
-                    )
+                    ) or keys
                 for k in keys:
                     if k not in context or k not in uncond:
                         continue
                     cond_sig = context[k]
                     uncond_sig = uncond[k]
+                    if not hasattr(cond_sig, "ndim"):
+                        # Unresolved host-only signal (e.g. a prompt-string
+                        # list that a caller left in the context).
+                        continue
                     m = mask.reshape((b,) + (1,) * (cond_sig.ndim - 1))
                     context[k] = jnp.where(m, uncond_sig, cond_sig)
 

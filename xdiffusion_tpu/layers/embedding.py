@@ -10,7 +10,7 @@ timestep features + MLP projections, class-label embeddings, and the
 from __future__ import annotations
 
 import math
-from typing import Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -356,10 +356,33 @@ class _HashEmbedFallback:
         return v / (np.linalg.norm(v, axis=-1, keepdims=True) + 1e-8)
 
 
+class _FrozenEncoderCache:
+    """Process-wide cache of loaded frozen encoders, keyed by version.
+    Loading is attempted once; a None entry means 'not cached locally'."""
+
+    _loaded: Dict = {}
+
+    @classmethod
+    def get(cls, kind: str, version: str):
+        key = (kind, version)
+        if key not in cls._loaded:
+            from xdiffusion_tpu.layers import text_encoders as te
+
+            loader = (
+                te.load_pretrained_clip_text
+                if kind == "clip"
+                else te.load_pretrained_t5
+            )
+            cls._loaded[key] = loader(version)
+        return cls._loaded[key]
+
+
 class CLIPTextEmbedder:
     """Host-side context preprocessor: prompts -> pooled CLIP embedding at
-    context[context_key] (reference: embedding.py CLIP embedders / Flux's
-    clip_text_embeddings path). Hash fallback offline."""
+    context[context_key] (reference: embedding.py:511-545 CLIPTextEmbedder
+    over HF CLIPTextModel). Runs the real flax CLIP text tower
+    (layers/text_encoders.py) when weights are cached locally; otherwise
+    a deterministic hash embedding keeps offline training running."""
 
     host_side = True
 
@@ -372,24 +395,64 @@ class CLIPTextEmbedder:
         **kwargs,
     ):
         self.context_key = context_key
+        self.max_length = int(max_length)
+        self.version = version
         self._fallback = _HashEmbedFallback(1, embedding_dim)
+        self._cache: Dict[str, Any] = {}
+        self._apply = None
+
+    def _encode_real(self, prompts) -> Optional["jnp.ndarray"]:
+        import numpy as np
+
+        loaded = _FrozenEncoderCache.get("clip", self.version)
+        if loaded is None:
+            return None
+        cfg, params, tok = loaded
+        todo = [p for p in prompts if p not in self._cache]
+        if todo:
+            enc = tok(
+                list(todo),
+                truncation=True,
+                max_length=self.max_length,
+                padding="max_length",
+                return_tensors="np",
+            )
+            if self._apply is None:
+                from xdiffusion_tpu.layers.text_encoders import (
+                    CLIPTextTransformer,
+                )
+
+                model = CLIPTextTransformer(cfg)
+                self._apply = jax.jit(model.apply)
+            _, pooled = self._apply(
+                params, jnp.asarray(enc["input_ids"].astype(np.int32))
+            )
+            pooled = np.asarray(pooled)
+            for i, p in enumerate(todo):
+                self._cache[p] = pooled[i]
+        return jnp.asarray(np.stack([self._cache[p] for p in prompts]))
 
     def __call__(self, context: Dict, **kwargs) -> Dict:
         if "text_prompts" not in context or self.context_key in context:
             return context
         import numpy as np
 
-        emb = np.stack(
-            [self._fallback(t)[0] for t in context["text_prompts"]]
-        )
+        prompts = list(context["text_prompts"])
+        emb = self._encode_real(prompts)
+        if emb is None:
+            emb = jnp.asarray(
+                np.stack([self._fallback(t)[0] for t in prompts])
+            )
         new_context = dict(context)
-        new_context[self.context_key] = jnp.asarray(emb)
+        new_context[self.context_key] = emb
         return new_context
 
 
 class T5TextEmbedder:
     """Host-side context preprocessor: prompts -> T5 sequence embeddings at
-    context[context_key]. Hash fallback offline."""
+    context[context_key] (reference: embedding.py:546-600 T5TextEmbedder
+    over HF T5EncoderModel). Runs the real flax T5 encoder when weights
+    are cached locally; hash fallback otherwise."""
 
     host_side = True
 
@@ -399,19 +462,65 @@ class T5TextEmbedder:
         version: str = "google/t5-v1_1-base",
         context_key: str = "t5_text_embeddings",
         embedding_dim: int = 768,
+        include_temporal: bool = False,
         **kwargs,
     ):
         self.context_key = context_key
+        self.max_length = int(max_length)
+        self.version = version
+        self.include_temporal = bool(include_temporal)
         self._fallback = _HashEmbedFallback(max_length, embedding_dim)
+        self._cache: Dict[str, Any] = {}
+        self._apply = None
+
+    def _encode_real(self, prompts):
+        import numpy as np
+
+        loaded = _FrozenEncoderCache.get("t5", self.version)
+        if loaded is None:
+            return None
+        cfg, params, tok = loaded
+        todo = [p for p in prompts if p not in self._cache]
+        if todo:
+            enc = tok(
+                list(todo),
+                truncation=True,
+                max_length=self.max_length,
+                padding="max_length",
+                return_tensors="np",
+            )
+            if self._apply is None:
+                from xdiffusion_tpu.layers.text_encoders import T5Encoder
+
+                model = T5Encoder(cfg)
+                self._apply = jax.jit(model.apply)
+            ids = enc["input_ids"].astype(np.int32)
+            mask = enc["attention_mask"].astype(np.int32)
+            hidden = np.asarray(
+                self._apply(params, jnp.asarray(ids), jnp.asarray(mask))
+            )
+            for i, p in enumerate(todo):
+                self._cache[p] = (hidden[i], mask[i])
+        emb = np.stack([self._cache[p][0] for p in prompts])
+        mask = np.stack([self._cache[p][1] for p in prompts])
+        return jnp.asarray(emb), jnp.asarray(mask)
 
     def __call__(self, context: Dict, **kwargs) -> Dict:
         if "text_prompts" not in context or self.context_key in context:
             return context
         import numpy as np
 
-        emb = np.stack([self._fallback(t) for t in context["text_prompts"]])
+        prompts = list(context["text_prompts"])
+        real = self._encode_real(prompts)
         new_context = dict(context)
-        new_context[self.context_key] = jnp.asarray(emb)
+        if real is None:
+            emb = jnp.asarray(np.stack([self._fallback(t) for t in prompts]))
+        else:
+            emb, mask = real
+            new_context["text_attention_mask"] = mask
+        if self.include_temporal:
+            emb = emb[:, None]
+        new_context[self.context_key] = emb
         return new_context
 
 

@@ -75,9 +75,13 @@ class DDIMSampler(ReverseProcessSampler):
         sched = process.noise_scheduler()
         if process.prediction_type() == PredictionType.EPSILON:
             pred_epsilon = pred
-        else:  # V: recover epsilon from the clipped x_hat
+        else:
+            # V: the reference derives epsilon from the UNCLIPPED x_hat
+            # (ddim.py:86-93 computes pred_epsilon before _maybe_clip), so
+            # recompute the raw x_hat from the model output first.
+            x_hat_raw = sched.predict_x_from_v(z=x, v=pred, context=context)
             pred_epsilon = sched.predict_epsilon_from_x(
-                z=x, x=x_hat, context=context
+                z=x, x=x_hat_raw, context=context
             )
 
         logsnr_s = broadcast_from_left(context["logsnr_s"], x.shape)

@@ -1,13 +1,12 @@
 """GPT-2-style byte-level BPE tokenizer.
 
-Behavioral counterpart of /root/reference/xdiffusion/tokenizer/bpe.py
-(which ships gzipped encoder.json/vocab.bpe assets). This is a fresh
-implementation of the standard byte-BPE algorithm; it loads the standard
-GPT-2 vocab files when present under $XDIFFUSION_DATA_DIR/tokenizer
-(encoder.json[.gz], vocab.bpe[.gz]) and otherwise falls back to a pure
-byte-level vocabulary (ids 0-255 + specials) so offline text conditioning
-still produces deterministic, trainable token ids with the same
-`tokenize(texts, context_length)` API and vocabulary-size contract.
+Behavioral counterpart of /root/reference/xdiffusion/tokenizer/bpe.py.
+The gzipped encoder.json/vocab.bpe assets shipped alongside this module
+are the standard public GPT-2 vocabulary (pure data, byte-identical to
+the reference's), so token ids match the reference exactly — required
+for checkpoint-level compatibility of text-conditioned configs. The
+loader also honors $XDIFFUSION_DATA_DIR/tokenizer overrides and falls
+back to a byte-level vocabulary if the assets are removed.
 """
 
 from __future__ import annotations
@@ -25,8 +24,11 @@ import numpy as np
 # configs with token_vocabulary_size: 50257 work with either vocabulary.
 GPT2_VOCAB_SIZE = 50257
 
+# The reference pattern uses regex-module unicode classes \p{L}/\p{N}
+# (bpe.py:66); [^\W\d_] / \d are the stdlib-re equivalents.
 _WORD_RE = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+",
+    re.UNICODE,
 )
 
 
@@ -72,13 +74,30 @@ class Encoder:
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         self.bpe_ranks = dict(zip(bpe_merges, range(len(bpe_merges))))
         self._cache: Dict[str, str] = {}
-        # Padding/end token: the reference pads with 0s and uses a fixed
-        # context length; we keep 0 as pad and expose vocab size.
-        self.end_token = end_token if end_token is not None else 0
+        # Reference semantics (bpe.py:76): end token is the last vocab id
+        # (<|endoftext|> = 50256 for GPT-2); tokenize() pads with 0s.
+        self.end_token = (
+            end_token if end_token is not None else len(encoder) - 1
+        )
+
+    @property
+    def n_vocab(self) -> int:
+        return len(self.encoder)
 
     @property
     def vocab_size(self) -> int:
         return max(GPT2_VOCAB_SIZE, len(self.encoder))
+
+    def padded_tokens_and_mask(
+        self, tokens: List[int], text_ctx: int
+    ) -> Tuple[List[int], List[bool]]:
+        """Reference bpe.py:78-85: pad with end_token, boolean mask."""
+        tokens = tokens[:text_ctx]
+        padding = text_ctx - len(tokens)
+        return (
+            tokens + [self.end_token] * padding,
+            [True] * len(tokens) + [False] * padding,
+        )
 
     def _bpe(self, token: str) -> str:
         if token in self._cache:
@@ -121,6 +140,8 @@ class Encoder:
         return out
 
     def encode(self, text: str) -> List[int]:
+        # The reference lowercases before encoding (bpe.py:128).
+        text = text.lower()
         ids: List[int] = []
         for token in _WORD_RE.findall(text):
             token_bytes = "".join(
@@ -173,12 +194,19 @@ def _find_asset(base: str, name: str) -> Optional[str]:
 
 
 def get_encoder() -> Encoder:
-    """GPT-2 vocab from disk if available; byte-level fallback otherwise."""
+    """GPT-2 vocab (shipped with the package, or $XDIFFUSION_DATA_DIR
+    override); byte-level fallback if the assets are removed."""
     from xdiffusion_tpu.datasets.mnist import data_root
 
-    base = os.path.join(data_root(), "tokenizer")
-    enc_path = _find_asset(base, "encoder.json")
-    bpe_path = _find_asset(base, "vocab.bpe")
+    enc_path = bpe_path = None
+    for base in (
+        os.path.join(data_root(), "tokenizer"),
+        os.path.dirname(os.path.abspath(__file__)),
+    ):
+        enc_path = _find_asset(base, "encoder.json")
+        bpe_path = _find_asset(base, "vocab.bpe")
+        if enc_path and bpe_path:
+            break
     if enc_path and bpe_path:
         opener = lambda p: gzip.open(p, "rt") if p.endswith(".gz") else open(p)
         with opener(enc_path) as f:

@@ -99,6 +99,15 @@ def train(
     ckpt_dir = os.path.join(out_dir, "checkpoints")
 
     model = build_model(config)
+
+    # Optional sampling-time prompt encoder (reference training/image/
+    # train.py:237-248): a host-side context preprocessor applied to the
+    # eval-sampling context (e.g. a frozen T5/CLIP embedder).
+    prompt_encoder = None
+    if "sampling" in config and "prompt_encoder" in config.sampling:
+        prompt_encoder = instantiate_from_config(
+            config.sampling.prompt_encoder.to_dict()
+        )
     mesh = make_mesh()
     print(
         f"mesh: {mesh.shape} | devices: {len(jax.devices())} "
@@ -289,6 +298,7 @@ def train(
                 num_samples=num_samples,
                 guidance=sample_with_guidance,
                 is_class_conditional=is_class_conditional,
+                prompt_encoder=prompt_encoder,
             )
             checkpoints.save_checkpoint(ckpt_dir, state, step + 1)
             if use_lora_training:
@@ -341,6 +351,7 @@ def sample_and_save(
     num_samples: int = 64,
     guidance: bool = False,
     is_class_conditional: bool = False,
+    prompt_encoder=None,
 ):
     params = state.ema_params if state.ema_params is not None else state.params
     context: Dict = {}
@@ -357,6 +368,8 @@ def sample_and_save(
         ]
         if guidance and hasattr(model, "classifier_free_guidance"):
             cfg_value = float(model.classifier_free_guidance())
+    if prompt_encoder is not None:
+        context = prompt_encoder(context)
     samples = model.sample(
         params,
         jax.random.PRNGKey(step),
