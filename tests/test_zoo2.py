@@ -42,7 +42,12 @@ def test_auraflow_forward_and_grads():
     assert _grad_ok(net, params, x, ctx)
 
 
-def test_chewie_is_flux_shaped():
+def test_chewie_forward_and_pooling_architecture():
+    """Chewie is NOT Flux: double-stream blocks mix tokens with a
+    parameter-free PoolFormer pooling instead of attention
+    (reference layers/chewie.py:12-143)."""
+    import flax
+
     cls = get_obj_from_str("xdiffusion.score_networks.chewie.Chewie")
     net = cls(config=flux_cfg())
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 1))
@@ -58,6 +63,33 @@ def test_chewie_is_flux_shaped():
     params = jax.jit(net.init)(jax.random.PRNGKey(3), x, ctx)
     out = jax.jit(net.apply)(params, x, ctx)
     assert out.shape == x.shape
+    assert _grad_ok(net, params, x, ctx)
+
+    flat = flax.traverse_util.flatten_dict(params)
+    keys = {"/".join(map(str, k)) for k in flat}
+    double_keys = {k for k in keys if "double_0" in k}
+    # No qkv projections anywhere in the pooling double blocks; the
+    # per-stream output projections exist.
+    assert not any("qkv" in k for k in double_keys), double_keys
+    assert any("img_proj" in k for k in double_keys)
+    assert any("txt_proj" in k for k in double_keys)
+    # Single blocks are standard Flux attention (qkv present).
+    assert any("single_0" in k and "linear1" in k for k in keys)
+
+
+def test_chewie_pooling_matches_torch_avgpool():
+    """The pooling mixer reproduces torch AvgPool2d(3, stride=1, pad=1,
+    count_include_pad=False) minus identity."""
+    torch = __import__("pytest").importorskip("torch")
+    from xdiffusion_tpu.layers.chewie import pooling_token_mixer
+
+    x = np.random.default_rng(0).standard_normal((2, 3, 7, 10)).astype(
+        np.float32
+    )
+    pool = torch.nn.AvgPool2d(3, stride=1, padding=1, count_include_pad=False)
+    ref = (pool(torch.from_numpy(x)) - torch.from_numpy(x)).numpy()
+    ours = np.asarray(pooling_token_mixer(jnp.asarray(x), 3))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
 
 
 def test_wideformer_config_resolves_to_pixart():
