@@ -35,6 +35,9 @@ def import_reference():
         "einops_exts",
         "lpips",
         "torchinfo",
+        "xformers",
+        "xformers.ops",
+        "flash_attn",
     ):
         try:
             __import__(name)

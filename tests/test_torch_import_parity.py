@@ -208,3 +208,72 @@ def test_bpe_token_ids_match_reference():
     np.testing.assert_array_equal(our_tok, ref_tok.numpy())
     assert ours.end_token == ref.end_token
     assert ours.n_vocab == ref.n_vocab
+
+
+@pytest.mark.parametrize("sampling,sr", [("conv", 2), ("uniform", 2), ("uniform_every", 4)])
+def test_kv_compress_attention_matches_reference(sampling, sr):
+    """KVCompressAttention golden parity (reference layers/sora.py:230-375)
+    on identical imported weights."""
+    import torch
+
+    from tests.reference_helpers import import_reference
+
+    try:
+        import_reference()
+    except ImportError as e:
+        pytest.skip(f"reference import failed: {e}")
+    from xdiffusion.layers.sora import KVCompressAttention as RefKV
+
+    import jax
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.layers.sora import KVCompressAttention
+
+    torch.manual_seed(0)
+    dim, heads, H, W = 32, 4, 8, 8
+    ref = RefKV(
+        dim=dim, num_heads=heads, qkv_bias=True, qk_norm=True,
+        sampling=sampling, sr_ratio=sr,
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    ours = KVCompressAttention(
+        dim=dim, num_heads=heads, qkv_bias=True, qk_norm=True,
+        sampling=sampling, sr_ratio=sr,
+    )
+    x = np.random.default_rng(0).standard_normal((2, H * W, dim)).astype(
+        np.float32
+    )
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), (H, W))
+
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = flatten_dict(params)
+    out = {}
+    for path, val in flat.items():
+        sub = [str(p) for p in path[1:]]
+        leaf = sub[-1]
+        if sub[0] == "qkv":
+            t = sd["qkv.weight"].T if leaf == "kernel" else sd["qkv.bias"]
+        elif sub[0] == "proj":
+            t = sd["proj.weight"].T if leaf == "kernel" else sd["proj.bias"]
+        elif sub[0] == "sr_kernel":
+            t = sd["sr.weight"].transpose(2, 3, 1, 0)
+        elif sub[0] == "sr_bias":
+            t = sd["sr.bias"]
+        elif sub[0] == "sr_norm":
+            t = sd["norm.weight"] if leaf == "scale" else sd["norm.bias"]
+        elif sub[0] == "q_norm":
+            t = sd["q_norm.weight"]
+        elif sub[0] == "k_norm":
+            t = sd["k_norm.weight"]
+        else:
+            raise KeyError(sub)
+        assert t.shape == val.shape, (sub, t.shape, val.shape)
+        out[path] = t
+    params = unflatten_dict(out)
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), HW=(H, W)).numpy()
+    our_out = np.asarray(ours.apply(params, jnp.asarray(x), (H, W)))
+    np.testing.assert_allclose(our_out, ref_out, atol=1e-4)

@@ -131,3 +131,103 @@ def test_latent_diffusion_wiring():
     )
     assert samples.shape == (2, 16, 16, 1)
     assert np.all(np.isfinite(np.asarray(samples)))
+
+
+def test_perceptual_distance_is_a_real_metric():
+    from xdiffusion_tpu.autoencoders.perceptual import perceptual_distance
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 1)).astype(np.float32))
+    d_same = np.asarray(perceptual_distance(x, x))
+    assert np.allclose(d_same, 0.0, atol=1e-6)
+    small = x + 0.05 * jnp.asarray(
+        rng.standard_normal(x.shape).astype(np.float32)
+    )
+    large = x + 0.5 * jnp.asarray(
+        rng.standard_normal(x.shape).astype(np.float32)
+    )
+    d_small = float(np.asarray(perceptual_distance(x, small)).mean())
+    d_large = float(np.asarray(perceptual_distance(x, large)).mean())
+    assert 0 < d_small < d_large
+    # Gradients flow back to the reconstruction.
+    g = jax.grad(lambda y: jnp.sum(perceptual_distance(x, y)))(small)
+    assert float(jnp.abs(g).max()) > 0
+    # Video (5D) path.
+    v = jnp.asarray(rng.uniform(-1, 1, (2, 4, 16, 16, 1)).astype(np.float32))
+    dv = perceptual_distance(v, v * 0.5)
+    assert dv.shape == (2, 1, 1, 1, 1) and float(dv.mean()) > 0
+
+
+def test_haar_dwt3_parseval_and_wavelet_loss():
+    from xdiffusion_tpu.autoencoders.perceptual import (
+        haar_dwt3,
+        wavelet_loss_3d,
+    )
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 8, 3)).astype(np.float32))
+    bands = haar_dwt3(x)
+    assert bands.shape == (2, 8, 2, 4, 4, 3)
+    # Orthonormal Haar preserves energy.
+    np.testing.assert_allclose(
+        float(jnp.sum(bands**2)), float(jnp.sum(x**2)), rtol=1e-5
+    )
+    assert np.allclose(np.asarray(wavelet_loss_3d(x, x)), 0.0, atol=1e-7)
+    y = x + 0.1 * jnp.asarray(
+        rng.standard_normal(x.shape).astype(np.float32)
+    )
+    w = wavelet_loss_3d(y, x)
+    assert w.shape == (2, 1, 1, 1, 3) and float(w.mean()) > 0
+    # Odd temporal extent pads cleanly (causal VAEs use 2k+1 frames).
+    odd = jnp.asarray(rng.standard_normal((1, 5, 8, 8, 1)).astype(np.float32))
+    assert haar_dwt3(odd).shape == (1, 8, 3, 4, 4, 1)
+
+
+def test_vae_loss_perceptual_and_wavelet_terms_move():
+    from xdiffusion_tpu.autoencoders.losses import LPIPSWithDiscriminator
+    from xdiffusion_tpu.autoencoders.distributions import (
+        DiagonalGaussianDistribution,
+    )
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 4, 16, 16, 1)).astype(np.float32))
+    recon = x + 0.3 * jnp.asarray(
+        rng.standard_normal(x.shape).astype(np.float32)
+    )
+    post = DiagonalGaussianDistribution(jnp.zeros((2, 4, 2, 2, 8)))
+
+    def run(**kw):
+        loss = LPIPSWithDiscriminator(
+            disc_start=0, use_3d=True, disc_in_channels=1, **kw
+        )
+        params = loss.init(
+            jax.random.PRNGKey(0), x, recon, post, 0, jnp.asarray(0)
+        )
+        out, metrics = loss.apply(params, x, recon, post, 0, jnp.asarray(0))
+        return float(out), metrics
+
+    base, m0 = run()
+    with_p, mp = run(perceptual_weight=1.0)
+    with_w, mw = run(wavelet_loss_weight=1.0)
+    assert float(mp["p_loss"]) > 0 and with_p > base
+    assert float(mw["w_loss"]) > 0 and with_w > base
+
+
+def test_reconstruction_gan_both_phases():
+    from xdiffusion_tpu.autoencoders.losses import LPIPSWithDiscriminator
+    from xdiffusion_tpu.autoencoders.distributions import (
+        DiagonalGaussianDistribution,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 1)).astype(np.float32))
+    recon = x * 0.8
+    post = DiagonalGaussianDistribution(jnp.zeros((2, 2, 2, 8)))
+    loss = LPIPSWithDiscriminator(
+        disc_start=0, disc_in_channels=1, use_reconstruction_gan=True
+    )
+    params = loss.init(jax.random.PRNGKey(0), x, recon, post, 0, jnp.asarray(0))
+    g, gm = loss.apply(params, x, recon, post, 0, jnp.asarray(0))
+    d, dm = loss.apply(params, x, recon, post, 1, jnp.asarray(0))
+    assert np.isfinite(float(g)) and np.isfinite(float(d))
+    assert "disc_loss" in dm

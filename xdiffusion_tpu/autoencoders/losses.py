@@ -2,15 +2,16 @@
 objective.
 
 Behavioral counterpart of /root/reference/xdiffusion/autoencoders/
-losses.py:15-776 (LDM's LPIPSWithDiscriminator): pixel L1 + learned-logvar
-NLL + KL + adversarial term with a hinge/vanilla PatchGAN. Differences in
-this rebuild, both offline-driven:
+losses.py:15-776 (LDM's LPIPSWithDiscriminator): pixel L1 + perceptual
+(LPIPS-style, see perceptual.py for the offline feature net) +
+learned-logvar NLL + KL + adversarial term with a hinge/vanilla PatchGAN;
+3D Haar wavelet loss and the paired reconstruction-GAN variant
+(losses.py:537,175-200) are wired when their knobs are set.
 
-- the perceptual (LPIPS/VGG) term requires pretrained VGG weights; with
-  none available it contributes 0 (reference MNIST-scale VAE configs train
-  fine without it);
-- the adaptive generator/discriminator weight (grad-norm ratio at the
-  decoder's last layer) is replaced by the configured fixed disc_weight.
+Remaining deviation: the adaptive generator/discriminator weight
+(grad-norm ratio at the decoder's last layer, losses.py:104-119) is
+replaced by the configured fixed disc_weight — a second grad pass inside
+the jitted train step would double its cost for a scale factor.
 """
 
 from __future__ import annotations
@@ -42,6 +43,7 @@ class NLayerDiscriminator(nn.Module):
     input_nc: int = 3
     ndf: int = 64
     n_layers: int = 3
+    output_nc: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -63,7 +65,7 @@ class NLayerDiscriminator(nn.Module):
             num_groups=32 if nf % 32 == 0 else max(1, nf // 4), name="norm_last"
         )(h)
         h = nn.leaky_relu(h, 0.2)
-        return nn.Conv(1, (4, 4), name="conv_out")(h)
+        return nn.Conv(self.output_nc, (4, 4), name="conv_out")(h)
 
 
 class NLayerDiscriminator3D(nn.Module):
@@ -75,6 +77,7 @@ class NLayerDiscriminator3D(nn.Module):
     input_nc: int = 3
     ndf: int = 64
     n_layers: int = 3
+    output_nc: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -96,7 +99,7 @@ class NLayerDiscriminator3D(nn.Module):
             num_groups=32 if nf % 32 == 0 else max(1, nf // 4), name="norm_last"
         )(h)
         h = nn.leaky_relu(h, 0.2)
-        return nn.Conv(1, (3, 4, 4), name="conv_out")(h)
+        return nn.Conv(self.output_nc, (3, 4, 4), name="conv_out")(h)
 
 
 class LPIPSWithDiscriminator(nn.Module):
@@ -106,9 +109,13 @@ class LPIPSWithDiscriminator(nn.Module):
 
     5D (B, F, H, W, C) inputs are supported: with use_3d the PatchGAN is a
     3D conv stack over the whole clip, otherwise frames fold into the
-    batch for a per-frame 2D discriminator. The reference's wavelet /
-    reconstruction-GAN extras are accepted and inert (documented parity
-    deviation)."""
+    batch for a per-frame 2D discriminator.
+
+    perceptual_weight > 0 adds the LPIPS-style multi-scale feature
+    distance (perceptual.py); wavelet_loss_weight > 0 adds the 3D Haar
+    wavelet L1 (5D inputs); use_reconstruction_gan switches to the paired
+    (recon, input) two-logit discriminator (reference losses.py:175-260).
+    """
 
     disc_start: int = 0
     kl_weight: float = 1e-6
@@ -132,6 +139,12 @@ class LPIPSWithDiscriminator(nn.Module):
     wavelet_loss_weight: float = 0.0
     use_3d_conv: bool = False
     use_reconstruction_gan: bool = False
+    # learned_logvar=False takes the output log-variance from the
+    # posterior instead of a learned scalar (reference losses.py:150-159);
+    # use_nll=False drops the 1/exp(logvar) NLL weighting and uses the
+    # plain mean reconstruction loss.
+    learned_logvar: bool = True
+    use_nll: bool = True
 
     def setup(self):
         assert self.disc_loss in ("hinge", "vanilla")
@@ -141,10 +154,12 @@ class LPIPSWithDiscriminator(nn.Module):
         disc_cls = (
             NLayerDiscriminator3D if self.use_3d else NLayerDiscriminator
         )
+        in_mult = 2 if self.use_reconstruction_gan else 1
         self.discriminator = disc_cls(
-            input_nc=self.disc_in_channels,
+            input_nc=self.disc_in_channels * in_mult,
             ndf=64,
             n_layers=self.disc_num_layers,
+            output_nc=2 if self.use_reconstruction_gan else 1,
         )
 
     def __call__(
@@ -160,9 +175,50 @@ class LPIPSWithDiscriminator(nn.Module):
             rec_loss = self.pixelloss_weight * diff**2
         else:
             rec_loss = self.pixelloss_weight * jnp.abs(diff)
-        # (perceptual term omitted offline; see module docstring)
-        nll = rec_loss / jnp.exp(self.logvar) + self.logvar
-        nll_loss = jnp.sum(nll) / nll.shape[0]
+
+        p_loss = jnp.zeros(())
+        if self.perceptual_weight > 0.0:
+            from xdiffusion_tpu.autoencoders.perceptual import (
+                perceptual_distance,
+            )
+
+            p_on = jnp.where(
+                global_step >= self.perceptual_start,
+                self.perceptual_weight,
+                0.0,
+            )
+            p_loss = perceptual_distance(inputs, reconstructions)
+            rec_loss = rec_loss + p_on * p_loss
+            p_loss = jnp.mean(p_loss)
+
+        w_loss = jnp.zeros(())
+        if self.wavelet_loss_weight > 0.0:
+            from xdiffusion_tpu.autoencoders.perceptual import wavelet_loss_3d
+
+            assert inputs.ndim == 5, "wavelet loss needs (B,F,H,W,C) video"
+            w_on = jnp.where(
+                global_step >= self.wavelet_start,
+                self.wavelet_loss_weight,
+                0.0,
+            )
+            w_loss = wavelet_loss_3d(reconstructions, inputs)
+            rec_loss = rec_loss + w_on * w_loss
+            w_loss = jnp.mean(w_loss)
+
+        if self.learned_logvar:
+            logvar = self.logvar
+        else:
+            # Per-sample output logvar from the posterior (reference
+            # losses.py:153-159): average to a (B, 1, ..., 1) plane.
+            axes = tuple(range(1, posterior.logvar.ndim))
+            logvar = jnp.mean(posterior.logvar, axis=axes).reshape(
+                (-1,) + (1,) * (rec_loss.ndim - 1)
+            )
+        if self.use_nll:
+            nll = rec_loss / jnp.exp(logvar) + logvar
+            nll_loss = jnp.sum(nll) / nll.shape[0]
+        else:
+            nll_loss = jnp.mean(rec_loss)
         kl_on = jnp.where(global_step >= self.kl_start, 1.0, 0.0)
         kl_loss = kl_on * jnp.mean(posterior.kl())
 
@@ -185,7 +241,16 @@ class LPIPSWithDiscriminator(nn.Module):
         disc_on = jnp.where(global_step >= adv_start, self.disc_factor, 0.0)
 
         if optimizer_idx == 0:
-            logits_fake = self.discriminator(disc_rec)
+            if self.use_reconstruction_gan:
+                # Paired (recon, input) discriminator with (fake, real)
+                # logit channels; only the fake logit drives G
+                # (reference losses.py:175-189).
+                logits = self.discriminator(
+                    jnp.concatenate([disc_rec, disc_in], axis=-1)
+                )
+                logits_fake, _ = jnp.split(logits, 2, axis=-1)
+            else:
+                logits_fake = self.discriminator(disc_rec)
             g_loss = -jnp.mean(logits_fake)
             loss = (
                 nll_loss
@@ -197,15 +262,35 @@ class LPIPSWithDiscriminator(nn.Module):
                 "nll_loss": nll_loss,
                 "kl_loss": kl_loss,
                 "g_loss": g_loss,
-                "logvar": self.logvar,
+                "p_loss": p_loss,
+                "w_loss": w_loss,
+                "logvar": jnp.mean(logvar),
             }
 
         # optimizer_idx == 1: discriminator sees detached reconstructions.
-        logits_real = self.discriminator(jax.lax.stop_gradient(disc_in))
-        logits_fake = self.discriminator(
-            jax.lax.stop_gradient(disc_rec)
-        )
-        d_loss = disc_on * d_fn(logits_real, logits_fake)
+        disc_in = jax.lax.stop_gradient(disc_in)
+        disc_rec = jax.lax.stop_gradient(disc_rec)
+        if self.use_reconstruction_gan:
+            # Two passes with swapped pair order; both logit channels
+            # supervised (reference losses.py:225-260).
+            fr = self.discriminator(
+                jnp.concatenate([disc_rec, disc_in], axis=-1)
+            )
+            logits_fake_a, logits_real_a = jnp.split(fr, 2, axis=-1)
+            rf = self.discriminator(
+                jnp.concatenate([disc_in, disc_rec], axis=-1)
+            )
+            logits_real_b, logits_fake_b = jnp.split(rf, 2, axis=-1)
+            disc_loss = d_fn(logits_real_a, logits_fake_a) + d_fn(
+                logits_real_b, logits_fake_b
+            )
+            logits_real = logits_real_a + logits_real_b
+            logits_fake = logits_fake_a + logits_fake_b
+        else:
+            logits_real = self.discriminator(disc_in)
+            logits_fake = self.discriminator(disc_rec)
+            disc_loss = d_fn(logits_real, logits_fake)
+        d_loss = disc_on * disc_loss
         return d_loss, {
             "disc_loss": d_loss,
             "logits_real": jnp.mean(logits_real),

@@ -220,7 +220,7 @@ class GaussianDiffusion_DDPM:
             context["logsnr_t"] = jnp.zeros((batch_size,), dtype=jnp.float32)
         else:
             context["timestep"] = jnp.zeros((batch_size,), dtype=jnp.int32)
-        if sn.is_class_conditional:
+        if sn.get("is_class_conditional", False):
             context["classes"] = jnp.zeros((batch_size,), dtype=jnp.int32)
         signals = (
             list(sn.conditioning.signals) if "conditioning" in sn else []

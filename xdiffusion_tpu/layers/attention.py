@@ -273,3 +273,190 @@ class SpatialAndTemporalCrossAttention(nn.Module):
             name="temporal",
         )(video, context=None, deterministic=deterministic)
         return video.reshape(bf, h, w, c)
+
+
+class RPENet(nn.Module):
+    """Relative-position encoder conditioned on the diffusion time
+    (reference: layers/attention.py:910-938 — FDM's iRPE network).
+
+    Maps (log-bucketed) signed frame distances + the timestep embedding
+    to per-head relative-position features; zero-init output so attention
+    starts unbiased."""
+
+    channels: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(
+        self, temb: jax.Array, relative_distances: jax.Array
+    ) -> jax.Array:
+        # temb: (B, T, tdim); relative_distances: (B, T, T) signed ints.
+        rel = relative_distances.astype(jnp.float32)
+        dist_embs = jnp.stack(
+            [
+                jnp.log1p(jnp.clip(rel, 0, None)),
+                jnp.log1p(jnp.clip(-rel, 0, None)),
+                (rel == 0).astype(jnp.float32),
+            ],
+            axis=-1,
+        )  # (B, T, T, 3)
+        emb = (
+            nn.Dense(self.channels, name="embed_diffusion_time")(temb)[
+                :, :, None
+            ]
+            + nn.Dense(self.channels, name="embed_distances")(dist_embs)
+        )
+        out = nn.Dense(
+            self.channels,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="out",
+        )(nn.silu(emb))
+        b, t, _, _ = out.shape
+        hd = self.channels // self.num_heads
+        return out.reshape(b, t, t, self.num_heads, hd)
+
+
+class RPEAttention(nn.Module):
+    """Attention with iRPE relative-position terms on q/k/v (reference:
+    layers/attention.py:992-1090, from FDM). Tokens: (B, D, T, C) where D
+    is a folded free axis (spatial positions for temporal attention,
+    frames for spatial attention); the RPE terms act over T using
+    EXPLICIT per-frame indices from the context.
+
+    attn_mask (B, T) groups tokens: mask==1 tokens attend among
+    themselves, mask==0 among themselves, never across (the FDM
+    observed/latent split, reference attention.py:1056-1076)."""
+
+    channels: int
+    num_heads: int
+    time_embed_dim: Optional[int] = None
+    use_rpe_net: bool = False
+    use_rpe_q: bool = True
+    use_rpe_k: bool = True
+    use_rpe_v: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        temb: Optional[jax.Array] = None,
+        frame_indices: Optional[jax.Array] = None,
+        attn_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, d, t, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        any_rpe = self.use_rpe_q or self.use_rpe_k or self.use_rpe_v
+        if any_rpe and not self.use_rpe_net:
+            raise NotImplementedError(
+                "lookup-table RPE is unused by the reference configs; "
+                "use use_rpe_net=True"
+            )
+
+        groups = 32 if c % 32 == 0 else max(1, c // 4)
+        hidden = nn.GroupNorm(num_groups=groups, name="norm")(
+            x.reshape(b * d, t, c)
+        ).reshape(b, d, t, c)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(hidden)
+        qkv = qkv.reshape(b, d, t, 3, h, hd)
+        q, k, v = (qkv[..., i, :, :].transpose(0, 1, 3, 2, 4) for i in range(3))
+        # q, k, v: (B, D, H, T, hd)
+        scale = hd**-0.5
+        q = q * scale
+        attn = jnp.einsum(
+            "bdhtf,bdhsf->bdhts", q, k, preferred_element_type=jnp.float32
+        )
+
+        if any_rpe:
+            assert frame_indices is not None, "RPE needs frame_indices"
+            rel = (
+                frame_indices[:, :, None] - frame_indices[:, None, :]
+            ).astype(jnp.int32)  # (B, T, T)
+            if self.use_rpe_k:
+                r_k = RPENet(self.channels, h, name="rpe_k")(temb, rel)
+                attn = attn + jnp.einsum("bdhtf,btshf->bdhts", q, r_k)
+            if self.use_rpe_q:
+                r_q = RPENet(self.channels, h, name="rpe_q")(temb, rel)
+                attn = attn + jnp.einsum(
+                    "bdhtf,btshf->bdhts", k * scale, r_q
+                ).transpose(0, 1, 2, 4, 3)
+
+        if attn_mask is not None:
+            m = attn_mask.astype(jnp.float32)
+            allowed = m[:, None, :] * m[:, :, None] + (1 - m[:, None, :]) * (
+                1 - m[:, :, None]
+            )
+            attn = attn + jnp.where(allowed > 0, 0.0, -jnp.inf)[
+                :, None, None
+            ]
+
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bdhts,bdhsf->bdhtf", attn, v)
+        if self.use_rpe_v:
+            r_v = RPENet(self.channels, h, name="rpe_v")(
+                temb,
+                (frame_indices[:, :, None] - frame_indices[:, None, :]).astype(
+                    jnp.int32
+                ),
+            )
+            out = out + jnp.einsum("bdhts,btshf->bdhtf", attn, r_v)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(b, d, t, c)
+        out = nn.Dense(
+            c,
+            kernel_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="proj_out",
+        )(out)
+        return hidden + out
+
+
+class FactorizedAttentionBlock(nn.Module):
+    """FDM space/time factorized attention (reference: score_networks/
+    unet_factorized3d.py:148-195): temporal RPE attention over frames at
+    each spatial position (observed/latent group mask), then plain
+    attention over spatial positions within each frame."""
+
+    channels: int
+    num_heads: int
+    time_embed_dim: int
+    use_rpe_net: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # (B*T, H, W, C)
+        temb: jax.Array,  # (B, T, time_embed_dim)
+        frame_indices: jax.Array,  # (B, T)
+        attn_mask: Optional[jax.Array],  # (B, T)
+        frames: int,
+    ) -> jax.Array:
+        bt, hh, ww, c = x.shape
+        t = frames
+        b = bt // t
+        tokens = x.reshape(b, t, hh * ww, c)
+        # Temporal: spatial positions fold into D.
+        temporal_in = tokens.transpose(0, 2, 1, 3)  # (B, HW, T, C)
+        temporal_out = RPEAttention(
+            channels=c,
+            num_heads=self.num_heads,
+            time_embed_dim=self.time_embed_dim,
+            use_rpe_net=self.use_rpe_net,
+            dtype=self.dtype,
+            name="temporal_attention",
+        )(temporal_in, temb=temb, frame_indices=frame_indices,
+          attn_mask=attn_mask)
+        # Spatial: frames fold into D; no RPE, no mask.
+        spatial_in = temporal_out.transpose(0, 2, 1, 3)  # (B, T, HW, C)
+        spatial_out = RPEAttention(
+            channels=c,
+            num_heads=self.num_heads,
+            use_rpe_q=False,
+            use_rpe_k=False,
+            use_rpe_v=False,
+            dtype=self.dtype,
+            name="spatial_attention",
+        )(spatial_in)
+        return spatial_out.reshape(bt, hh, ww, c)

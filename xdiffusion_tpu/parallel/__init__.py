@@ -12,6 +12,12 @@ wrapper stack (reference training/image/train.py:108-226 and SURVEY §2.14):
   step / EMA / clip on the host).
 """
 
+from xdiffusion_tpu.parallel.distributed import (  # noqa: F401
+    global_batch_from_local,
+    is_main_process,
+    local_batch_size,
+    maybe_initialize_distributed,
+)
 from xdiffusion_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     fsdp_param_shardings,

@@ -43,7 +43,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch (dict of numpy arrays) onto the data axis."""
+    """Place a host batch onto the data axis.
+
+    Single-process: device_put with the batch sharding. Multi-process
+    (TPU pod slices): the batch is this HOST's local shard of the global
+    batch, assembled into a logically-global array via
+    jax.make_array_from_process_local_data (per-host data loading,
+    SURVEY §2.14)."""
+    if jax.process_count() > 1:
+        from xdiffusion_tpu.parallel.distributed import (
+            global_batch_from_local,
+        )
+
+        return global_batch_from_local(batch, mesh)
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch

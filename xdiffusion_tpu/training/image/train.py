@@ -108,7 +108,17 @@ def train(
         prompt_encoder = instantiate_from_config(
             config.sampling.prompt_encoder.to_dict()
         )
+    # Multi-host: initialize jax.distributed when launched as a pod
+    # (no-op single-process); each host then loads only its batch shard
+    # and shard_batch assembles the global array (SURVEY §2.14).
+    from xdiffusion_tpu.parallel import (
+        local_batch_size,
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed()
     mesh = make_mesh()
+    host_batch_size = local_batch_size(batch_size)
     print(
         f"mesh: {mesh.shape} | devices: {len(jax.devices())} "
         f"| batch/device: {batch_size // max(mesh.shape['data'],1)}",
@@ -118,7 +128,11 @@ def train(
     dataset, convert_labels_to_prompts = load_dataset(
         dataset_name, config=config, split="train"
     )
-    batches = batch_iterator(dataset, batch_size, seed=seed)
+    # Per-host loading: each process draws a distinct stream and only
+    # its share of the global batch (reference: DDP DistributedSampler).
+    batches = batch_iterator(
+        dataset, host_batch_size, seed=seed + jax.process_index()
+    )
 
     # Latent diffusion: load the frozen VAE and fix the latent scale from a
     # representative batch (explicit init of reference ddpm.py:171-176).

@@ -80,11 +80,24 @@ def train(
     ckpt_dir = os.path.join(out_dir, "checkpoints")
 
     model = build_model(config)
+    # Multi-host: initialize jax.distributed when launched as a pod
+    # (no-op single-process); each host then loads only its batch shard
+    # and shard_batch assembles the global array (SURVEY §2.14).
+    from xdiffusion_tpu.parallel import (
+        local_batch_size,
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed()
     mesh = make_mesh()
+    host_batch_size = local_batch_size(batch_size)
     dataset, convert_labels_to_prompts = load_dataset(
         dataset_name, config=config, split="train"
     )
-    batches = video_batch_iterator(dataset, batch_size, seed=seed)
+    # Per-host loading (multi-host: each process draws its shard).
+    batches = video_batch_iterator(
+        dataset, host_batch_size, seed=seed + jax.process_index()
+    )
     mask_generator = make_mask_generator(model.models()[0].config())
 
     # Latent video diffusion: load the frozen causal VAE and fix the
