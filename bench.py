@@ -71,6 +71,26 @@ def main():
 
     samples_per_sec = BATCH * REPEATS / dt
     per_chip = samples_per_sec / n_chips
+
+    # MFU from XLA's own cost analysis of the score network forward (the
+    # sampling scan is 50 forwards + elementwise update math). v5e bf16
+    # peak: 394 TOPS int8 spec -> 197 TFLOP/s bf16 per chip.
+    peak_flops = {"TPU v5 lite": 197e12}.get(
+        jax.devices()[0].device_kind[:11], 197e12
+    )
+    mfu = float("nan")
+    try:
+        x = jax.numpy.zeros((BATCH, 32, 32, 1), jax.numpy.float32)
+        t = jax.numpy.zeros((BATCH,), jax.numpy.int32)
+        fwd = jax.jit(lambda p, x, t: model.predict_score(p, x, {"timestep": t}))
+        ca = fwd.lower(params, x, t).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops_per_call = ca.get("flops", float("nan"))
+        mfu = (flops_per_call * STEPS * samples_per_sec / BATCH) / peak_flops
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -78,6 +98,7 @@ def main():
                 "value": round(per_chip, 2),
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(per_chip / BASELINE_SAMPLES_PER_SEC_CHIP, 3),
+                "mfu": round(mfu, 4),
             }
         )
     )

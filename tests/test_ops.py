@@ -108,3 +108,144 @@ def test_group_norm_xla_matches_flax():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(expected), atol=2e-3, rtol=2e-3
     )
+
+
+def test_bsc_kernel_interpret_matches_bshd():
+    """The (B, S, C) fused attention kernel (interpret mode) matches the
+    head-batched einsum path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from xdiffusion_tpu.ops.attention import attention_bshd
+    from xdiffusion_tpu.ops.flash_attention import _bsc_forward
+
+    key = jax.random.PRNGKey(3)
+    b, s, c, heads = 4, 64, 128, 2
+    d = c // heads
+    q, k, v = (
+        jax.random.normal(jax.random.fold_in(key, i), (b, s, c), jnp.float32)
+        for i in range(3)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = _bsc_forward(q, k, v, heads, d**-0.5)
+    expected = attention_bshd(
+        q.reshape(b, s, heads, d),
+        k.reshape(b, s, heads, d),
+        v.reshape(b, s, heads, d),
+        scale=d**-0.5,
+    ).reshape(b, s, c)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_bsc_kernel_cross_attention_shapes():
+    """Sq != Sk (encoder kv concatenated ahead of the spatial tokens)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from xdiffusion_tpu.ops.attention import attention_bshd
+    from xdiffusion_tpu.ops.flash_attention import _bsc_forward
+
+    key = jax.random.PRNGKey(4)
+    b, sq, sk, c, heads = 2, 64, 96, 128, 2
+    d = c // heads
+    q = jax.random.normal(jax.random.fold_in(key, 0), (b, sq, c), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, sk, c), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, sk, c), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = _bsc_forward(q, k, v, heads, d**-0.5)
+    expected = attention_bshd(
+        q.reshape(b, sq, heads, d),
+        k.reshape(b, sk, heads, d),
+        v.reshape(b, sk, heads, d),
+        scale=d**-0.5,
+    ).reshape(b, sq, c)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_attention_qkv_gradients_match_einsum():
+    """custom_vjp backward of the fused path equals einsum-path autodiff."""
+    from xdiffusion_tpu.ops.attention import attention_bshd
+    from xdiffusion_tpu.ops.flash_attention import short_attention_bsc
+
+    key = jax.random.PRNGKey(5)
+    b, s, c, heads = 2, 32, 64, 2
+    d = c // heads
+    q, k, v = (
+        jax.random.normal(jax.random.fold_in(key, i), (b, s, c), jnp.float32)
+        for i in range(3)
+    )
+
+    def ref_loss(q, k, v):
+        out = attention_bshd(
+            q.reshape(b, s, heads, d),
+            k.reshape(b, s, heads, d),
+            v.reshape(b, s, heads, d),
+            scale=d**-0.5,
+        )
+        return jnp.sum(out**2)
+
+    # The custom_vjp backward recomputes through the einsum path, so its
+    # gradients must match exactly regardless of which forward ran.
+    from jax.experimental.pallas import tpu as pltpu
+
+    def fused_loss(q, k, v):
+        return jnp.sum(short_attention_bsc(q, k, v, heads, d**-0.5) ** 2)
+
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(fused_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ref, g_fused):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_fast_group_norm_matches_flax():
+    """FastGroupNorm == nn.GroupNorm for 4D and 5D activations, with and
+    without fused SiLU / adaptive scale-shift."""
+    import flax.linen as nn
+
+    from xdiffusion_tpu.layers.resnet import FastGroupNorm
+
+    key = jax.random.PRNGKey(6)
+    for shape in [(2, 8, 8, 64), (2, 3, 8, 8, 64)]:
+        x = jax.random.normal(key, shape, jnp.float32)
+        sc = jax.random.normal(jax.random.fold_in(key, 1), (64,))
+        bi = jax.random.normal(jax.random.fold_in(key, 2), (64,))
+        p = {"params": {"scale": sc, "bias": bi}}
+        got = FastGroupNorm(num_groups=32).apply(p, x)
+        want = nn.GroupNorm(num_groups=32).apply(p, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+        got_silu = FastGroupNorm(num_groups=32, silu=True).apply(p, x)
+        np.testing.assert_allclose(
+            np.asarray(got_silu), np.asarray(jax.nn.silu(want)), atol=1e-5
+        )
+
+        ts = jax.random.normal(jax.random.fold_in(key, 3), (shape[0], 64))
+        tsh = jax.random.normal(jax.random.fold_in(key, 4), (shape[0], 64))
+        got_ss = FastGroupNorm(num_groups=32, silu=True).apply(
+            p, x, t_scale=ts, t_shift=tsh
+        )
+        bshape = (shape[0],) + (1,) * (x.ndim - 2) + (64,)
+        want_ss = jax.nn.silu(
+            want * (1.0 + ts.reshape(bshape)) + tsh.reshape(bshape)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_ss), np.asarray(want_ss), atol=1e-5
+        )
+
+
+def test_fast_group_norm_gradients_finite():
+    from xdiffusion_tpu.layers.resnet import FastGroupNorm
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 8, 8, 64))
+    p = FastGroupNorm(num_groups=32).init(jax.random.PRNGKey(8), x)
+
+    def loss(p, x):
+        return jnp.sum(FastGroupNorm(num_groups=32, silu=True).apply(p, x) ** 2)
+
+    gp, gx = jax.grad(loss, argnums=(0, 1))(p, x)
+    assert np.all(np.isfinite(np.asarray(gx)))
+    for leaf in jax.tree_util.tree_leaves(gp):
+        assert np.all(np.isfinite(np.asarray(leaf)))

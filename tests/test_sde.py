@@ -125,3 +125,54 @@ def test_pc_sampling_scan(predictor, corrector):
     assert samples.shape == (2, 8, 8, 1)
     s = np.asarray(samples)
     assert np.all(np.isfinite(s)) and s.min() >= 0.0 and s.max() <= 1.0
+
+
+def test_reverse_sde_drift_and_discretize():
+    """reverse(score_fn) implements Score-SDE eq. 6 (SDE) / eq. 13 (ODE)
+    against the forward coefficients (reference sde/base.py:98-155)."""
+    from xdiffusion_tpu.sde.vpsde import VPSDE
+
+    sde = VPSDE(N=100)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 1))
+    t = jnp.array([0.3, 0.7])
+
+    def score_fn(x, t):
+        return -0.5 * x  # arbitrary smooth score
+
+    f_fwd, g_fwd = sde.sde(x, t)
+    bcast = lambda c: c.reshape(c.shape + (1,) * (x.ndim - c.ndim))
+
+    rev = sde.reverse(score_fn)
+    f_rev, g_rev = rev.sde(x, t)
+    np.testing.assert_allclose(
+        np.asarray(f_rev),
+        np.asarray(f_fwd - bcast(g_fwd) ** 2 * score_fn(x, t)),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(g_rev), np.asarray(g_fwd), rtol=1e-6)
+    assert rev.N == sde.N and rev.T == sde.T
+
+    ode = sde.reverse(score_fn, probability_flow=True)
+    f_ode, g_ode = ode.sde(x, t)
+    np.testing.assert_allclose(
+        np.asarray(f_ode),
+        np.asarray(f_fwd - 0.5 * bcast(g_fwd) ** 2 * score_fn(x, t)),
+        rtol=1e-6,
+    )
+    assert float(jnp.max(jnp.abs(g_ode))) == 0.0
+
+    # Discretized rules follow the same construction.
+    fd, gd = sde.discretize(x, t)
+    fr, gr = rev.discretize(x, t)
+    np.testing.assert_allclose(
+        np.asarray(fr),
+        np.asarray(fd - bcast(gd) ** 2 * score_fn(x, t)),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gd), rtol=1e-6)
+
+    # Marginals delegate to the forward process.
+    m1, s1 = sde.marginal_prob(x, t)
+    m2, s2 = rev.marginal_prob(x, t)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))

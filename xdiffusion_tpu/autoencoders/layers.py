@@ -17,8 +17,12 @@ from xdiffusion_tpu.layers.resnet import avg_pool_2x, nearest_upsample_2x
 from xdiffusion_tpu.ops import dot_product_attention
 
 
-def _gn(c: int, name: str) -> nn.GroupNorm:
-    return nn.GroupNorm(num_groups=32 if c % 32 == 0 else max(1, c // 4), name=name)
+def _gn(c: int, name: str, silu: bool = False):
+    from xdiffusion_tpu.layers.resnet import FastGroupNorm
+
+    return FastGroupNorm(
+        num_groups=32 if c % 32 == 0 else max(1, c // 4), silu=silu, name=name
+    )
 
 
 class VAEResnetBlock(nn.Module):
@@ -29,9 +33,9 @@ class VAEResnetBlock(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         c_in = x.shape[-1]
         h = nn.Conv(self.out_channels, (3, 3), name="conv1")(
-            nn.silu(_gn(c_in, "norm1")(x))
+            _gn(c_in, "norm1", silu=True)(x)
         )
-        h = nn.silu(_gn(self.out_channels, "norm2")(h))
+        h = _gn(self.out_channels, "norm2", silu=True)(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(self.out_channels, (3, 3), name="conv2")(h)
@@ -96,7 +100,7 @@ class Encoder(nn.Module):
         h = VAEResnetBlock(out_channels=c_mid, dropout=self.dropout,
                            name="mid_block_2")(h, deterministic=deterministic)
 
-        h = nn.silu(_gn(c_mid, "norm_out")(h))
+        h = _gn(c_mid, "norm_out", silu=True)(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
         return nn.Conv(out_ch, (3, 3), name="conv_out")(h)
 
@@ -137,5 +141,5 @@ class Decoder(nn.Module):
                 h = nn.Conv(h.shape[-1], (3, 3), name=f"up_{level}_upsample")(h)
                 res *= 2
 
-        h = nn.silu(_gn(h.shape[-1], "norm_out")(h))
+        h = _gn(h.shape[-1], "norm_out", silu=True)(h)
         return nn.Conv(self.out_ch, (3, 3), name="conv_out")(h)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xdiffusion_tpu.ops import dot_product_attention
+from xdiffusion_tpu.ops import attention_bshd, attention_qkv, dot_product_attention
 
 
 class SpatialCrossAttention(nn.Module):
@@ -59,18 +59,13 @@ class SpatialCrossAttention(nn.Module):
             num_heads = c // self.dim_head
         head_dim = c // num_heads
 
+        from xdiffusion_tpu.layers.resnet import FastGroupNorm
+
         groups = 32 if c % 32 == 0 else max(1, c // 4)
-        hidden = nn.GroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(x)
+        hidden = FastGroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(x)
         hidden = hidden.reshape(b, h * w, c)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(hidden)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def to_heads(t, length):
-            return t.reshape(b, length, num_heads, head_dim).transpose(0, 2, 1, 3)
-
-        q = to_heads(q, h * w)
-        k = to_heads(k, h * w)
-        v = to_heads(v, h * w)
 
         context_dim = None if self.context_dim in (None, -1) else self.context_dim
         if context_dim is not None and context is not None:
@@ -86,11 +81,10 @@ class SpatialCrossAttention(nn.Module):
                 enc = nn.LayerNorm(dtype=self.dtype, name="context_norm")(enc)
             enc_kv = nn.Dense(2 * c, dtype=self.dtype, name="encoder_kv")(enc)
             ek, ev = jnp.split(enc_kv, 2, axis=-1)
-            k = jnp.concatenate([to_heads(ek, enc.shape[1]), k], axis=2)
-            v = jnp.concatenate([to_heads(ev, enc.shape[1]), v], axis=2)
+            k = jnp.concatenate([ek, k], axis=1)
+            v = jnp.concatenate([ev, v], axis=1)
 
-        out = dot_product_attention(q, k, v, is_causal=self.is_causal)
-        out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        out = attention_qkv(q, k, v, heads=num_heads, is_causal=self.is_causal)
         out = nn.Dense(
             c, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="proj_out"
         )(out)
@@ -204,11 +198,7 @@ class MultiHeadSelfAttention(nn.Module):
         head_dim = c // self.num_heads
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        reshape = lambda t: t.reshape(b, n, self.num_heads, head_dim).transpose(
-            0, 2, 1, 3
-        )
-        out = dot_product_attention(reshape(q), reshape(k), reshape(v))
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = attention_qkv(q, k, v, heads=self.num_heads)
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         if self.dropout > 0.0:
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)

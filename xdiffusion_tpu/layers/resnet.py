@@ -22,11 +22,46 @@ from flax import linen as nn
 _FUSED_NORM = os.environ.get("XDIFFUSION_FUSED_NORM", "0") == "1"
 
 
-def _group_norm(c: int, name: str, dtype) -> nn.GroupNorm:
+class FastGroupNorm(nn.Module):
+    """Drop-in GroupNorm (param-compatible with nn.GroupNorm) routed
+    through ops.norm: statistics in fp32 with converts fused into the
+    reductions, normalize+affine(+scale-shift)(+SiLU) as one elementwise
+    pass in the activation dtype. Eliminates the standalone bf16<->fp32
+    retile converts flax's GroupNorm leaves on TPU (46% of UNet forward
+    device time at batch 512)."""
+
+    num_groups: int
+    epsilon: float = 1e-6  # matches flax nn.GroupNorm default
+    dtype: jnp.dtype = jnp.float32
+    silu: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        t_scale: Optional[jax.Array] = None,
+        t_shift: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        from xdiffusion_tpu.ops.norm import group_norm, group_norm_scale_shift
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if t_scale is not None:
+            return group_norm_scale_shift(
+                x, scale, bias, self.num_groups, t_scale, t_shift,
+                eps=self.epsilon, silu=self.silu,
+            )
+        return group_norm(
+            x, scale, bias, self.num_groups, eps=self.epsilon, silu=self.silu
+        )
+
+
+def _group_norm(c: int, name: str, dtype, silu: bool = False) -> FastGroupNorm:
     # GroupNorm(32) like the reference, but degrade gracefully for thin
     # channels (tests / tiny configs).
     groups = 32 if c % 32 == 0 else max(1, c // 4)
-    return nn.GroupNorm(num_groups=groups, name=name, dtype=dtype)
+    return FastGroupNorm(num_groups=groups, name=name, dtype=dtype, silu=silu)
 
 
 class FusedGroupNormSiLU(nn.Module):
@@ -49,10 +84,10 @@ class FusedGroupNormSiLU(nn.Module):
 
 
 def _norm_silu(x, c: int, name: str, dtype):
-    """silu(groupnorm(x)) — fused when enabled."""
+    """silu(groupnorm(x)) in one fused pass."""
     if _FUSED_NORM:
         return FusedGroupNormSiLU(channels=c, dtype=dtype, name=name)(x)
-    return nn.silu(_group_norm(c, name, dtype)(x))
+    return _group_norm(c, name, dtype, silu=True)(x)
 
 
 def nearest_upsample_2x(x: jax.Array) -> jax.Array:
@@ -134,13 +169,12 @@ class ResnetBlockBigGAN(nn.Module):
         emb_out = nn.Dense(emb_dim, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
         emb_out = emb_out[:, None, None, :]
 
-        norm2 = _group_norm(self.dim_out, "norm2", self.dtype)
+        norm2 = _group_norm(self.dim_out, "norm2", self.dtype, silu=True)
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = norm2(h) * (1.0 + scale) + shift
+            h = norm2(h, t_scale=scale, t_shift=shift)
         else:
             h = norm2(h + emb_out)
-        h = nn.silu(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(
@@ -172,7 +206,7 @@ class ResnetBlockDDPM(nn.Module):
         self, x: jax.Array, context: Dict, deterministic: bool = True
     ) -> jax.Array:
         dim_in = x.shape[-1]
-        h = nn.silu(_group_norm(dim_in, "norm1", self.dtype)(x))
+        h = _group_norm(dim_in, "norm1", self.dtype, silu=True)(x)
         h = nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="conv1")(h)
 
         emb = context["timestep_embedding"]
@@ -182,13 +216,12 @@ class ResnetBlockDDPM(nn.Module):
         emb_out = nn.Dense(emb_dim, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
         emb_out = emb_out[:, None, None, :]
 
-        norm2 = _group_norm(self.dim_out, "norm2", self.dtype)
+        norm2 = _group_norm(self.dim_out, "norm2", self.dtype, silu=True)
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = norm2(h) * (1.0 + scale) + shift
+            h = norm2(h, t_scale=scale, t_shift=shift)
         else:
             h = norm2(h + emb_out)
-        h = nn.silu(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="conv2")(h)

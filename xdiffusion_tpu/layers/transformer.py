@@ -133,8 +133,10 @@ class SpatialTransformer(nn.Module):
     ) -> jax.Array:
         b, hh, ww, c = x.shape
         inner = self.attention_heads * self.attention_channels
+        from xdiffusion_tpu.layers.resnet import FastGroupNorm
+
         groups = 32 if c % 32 == 0 else max(1, c // 4)
-        h = nn.GroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(x)
+        h = FastGroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(x)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(
             h.reshape(b, hh * ww, c)
         )
@@ -158,11 +160,9 @@ class SpatialTransformer(nn.Module):
             q = nn.Dense(inner, dtype=self.dtype, name=f"{name}_q")(q_seq)
             k = nn.Dense(inner, dtype=self.dtype, name=f"{name}_k")(kv_seq)
             v = nn.Dense(inner, dtype=self.dtype, name=f"{name}_v")(kv_seq)
-            split = lambda t: t.reshape(
-                b, t.shape[1], n_heads, d_head
-            ).transpose(0, 2, 1, 3)
-            out = dot_product_attention(split(q), split(k), split(v))
-            out = out.transpose(0, 2, 1, 3).reshape(b, q_seq.shape[1], inner)
+            from xdiffusion_tpu.ops import attention_qkv
+
+            out = attention_qkv(q, k, v, heads=n_heads)
             return nn.Dense(inner, dtype=self.dtype, name=f"{name}_proj")(out)
 
         for i in range(self.num_layers):

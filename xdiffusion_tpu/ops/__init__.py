@@ -6,5 +6,9 @@ jnp/XLA fallback used for small shapes, interpret mode, and non-TPU
 backends. Callers import the dispatcher, never a specific backend.
 """
 
-from xdiffusion_tpu.ops.attention import dot_product_attention  # noqa: F401
+from xdiffusion_tpu.ops.attention import (  # noqa: F401
+    attention_bshd,
+    attention_qkv,
+    dot_product_attention,
+)
 from xdiffusion_tpu.ops.group_norm import group_norm_silu  # noqa: F401

@@ -54,6 +54,78 @@ def _flash_eligible(q: jax.Array, k: jax.Array) -> bool:
     return sq >= 1024 and sk >= 1024 and d % 128 == 0
 
 
+def attention_bshd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    is_causal: bool = False,
+) -> jax.Array:
+    """Attention over (B, S, H, D) tensors WITHOUT transposing to (B, H, S, D).
+
+    The head-major transpose that `to_heads` layouts force is a physical
+    relayout copy on TPU (profiled at ~150us per copy at batch 512 on the
+    DDPM bench); einsum contractions with the head axis as a batch
+    dimension let XLA fold the logical transpose into the batched matmul's
+    layout assignment instead. Returns (B, Sq, H, D)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if is_causal:
+        sq, sk = logits.shape[-2], logits.shape[-1]
+        mask = jnp.tril(jnp.ones((sq, sk), dtype=bool), k=sk - sq)
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+def attention_qkv(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    is_causal: bool = False,
+) -> jax.Array:
+    """Multi-head attention on (B, S, C=heads*head_dim) projections.
+
+    On TPU, short non-causal sequences route through the fused Pallas
+    kernel (ops/flash_attention.short_attention_bsc) that consumes the
+    qkv-projection layout directly — no head transpose, no HBM logits.
+    Everything else falls back to the head-batched einsum path."""
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    d = c // heads
+    scale = d**-0.5
+    import os
+
+    if (
+        not is_causal
+        and jax.default_backend() == "tpu"
+        and os.environ.get("XDIFFUSION_SHORT_ATTN", "1") == "1"
+        and c % heads == 0
+        and max(sq, sk) <= 1024
+        and sq % 8 == 0
+        and sk % 8 == 0
+        and d % 8 == 0
+        # Below this the XLA path's logits traffic fits cache-side and the
+        # kernel's per-call overhead loses (A/B on the DDIM bench: kernel
+        # wins 7-10% at batch>=128 with 4 heads x seq 256, ties/loses at 64).
+        and b * heads * sq >= 100_000
+    ):
+        from xdiffusion_tpu.ops.flash_attention import short_attention_bsc
+
+        return short_attention_bsc(q, k, v, heads, scale)
+    qh = q.reshape(b, sq, heads, d)
+    kh = k.reshape(b, sk, heads, d)
+    vh = v.reshape(b, sk, heads, d)
+    return attention_bshd(qh, kh, vh, scale=scale, is_causal=is_causal).reshape(
+        b, sq, c
+    )
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,

@@ -31,7 +31,7 @@ DEFAULT_BLOCK_K = 512
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
     # q_ref: (1, 1, block_q, D); k_ref/v_ref: (1, 1, Sk, D) resident in VMEM.
-    q = q_ref[0, 0].astype(jnp.float32) * scale
+    q = q_ref[0, 0]
     sk = k_ref.shape[2]
     block_q, d = q.shape
     num_kv = sk // block_k
@@ -46,17 +46,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
         v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
         logits = jax.lax.dot_general(
             q,
-            k.astype(jnp.float32),
+            k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (block_q, block_k)
+        ) * scale  # (block_q, block_k); bf16 dot, fp32 accumulation
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
         p = jnp.exp(logits - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p,
-            v.astype(jnp.float32),
+            p.astype(v.dtype),
+            v,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -115,6 +115,200 @@ def _flash_forward(q, k, v, scale: float):
             transcendentals=b * h * sq * sk,
         ),
     )(q, k, v)
+
+
+def _short_seq_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, group: int):
+    """Fused attention for short sequences: G (batch*head) slices per grid
+    step, full (Sq, Sk) logits + softmax held in VMEM/registers — the fp32
+    logits tensor never round-trips HBM (the XLA path materializes it at
+    large batch, which is what makes per-sample cost grow with batch on the
+    DDIM bench). Unrolled loop over the G heads keeps every dot a static
+    MXU shape."""
+    for g in range(group):
+        logits = jax.lax.dot_general(
+            q_ref[g],
+            k_ref[g],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (Sq, Sk); bf16 dot with fp32 accumulation on the MXU
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        w = (p / l).astype(v_ref.dtype)
+        o_ref[g] = jax.lax.dot_general(
+            w,
+            v_ref[g],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def _short_group(n: int, sq: int, sk: int) -> int:
+    """Heads per grid step: enough work to amortize grid-step overhead,
+    bounded so blocks stay well under VMEM."""
+    target = max(1, 4096 // max(sq, sk))
+    g = 1
+    while g * 2 <= target and n % (g * 2) == 0:
+        g *= 2
+    return g
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def short_attention(q, k, v, scale: float):
+    """Fused non-causal attention for short sequences.
+
+    q: (B, H, Sq, D); k/v: (B, H, Sk, D). Returns (B, H, Sq, D)."""
+    return _short_forward(q, k, v, scale)
+
+
+def _short_forward(q, k, v, scale: float):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    n = b * h
+    group = _short_group(n, sq, sk)
+    qf = q.reshape(n, sq, d)
+    kf = k.reshape(n, sk, d)
+    vf = v.reshape(n, sk, d)
+    kernel = functools.partial(_short_seq_kernel, scale=scale, group=group)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
+        grid=(n // group,),
+        in_specs=[
+            pl.BlockSpec((group, sq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, sk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, sk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (group, sq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * sq * sk * d,
+            bytes_accessed=(2 * q.size + 2 * k.size) * q.dtype.itemsize,
+            transcendentals=n * sq * sk,
+        ),
+    )(qf, kf, vf)
+    return out.reshape(b, h, sq, d)
+
+
+def _short_fwd(q, k, v, scale):
+    return _short_forward(q, k, v, scale), (q, k, v)
+
+
+def _short_bwd(scale, residuals, g):
+    q, k, v = residuals
+
+    def ref(q, k, v):
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+short_attention.defvjp(_short_fwd, _short_bwd)
+
+
+def _bsc_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int,
+                group: int):
+    """Fused multi-head attention straight off the (B, S, C=H*D) qkv-
+    projection layout: heads are static lane slices, so no head-major
+    transpose (a physical relayout copy on TPU) ever materializes, and
+    the fp32 (S, S) logits live only in VMEM/registers. Profiling the
+    DDPM UNet at batch 512 showed the XLA path writing+reading each
+    134 MB fp32 logits tensor through HBM plus 24 relayout copies —
+    ~16 ms of a 56 ms forward."""
+    c = q_ref.shape[-1]
+    d = c // heads
+    for g in range(group):
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            # bf16 x bf16 -> fp32 accumulation straight on the MXU (an
+            # fp32 upcast before the dot would both add VPU converts and
+            # drop the MXU to fp32 rate); scale applied to fp32 logits.
+            logits = jax.lax.dot_general(
+                q_ref[g, :, sl], k_ref[g, :, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (Sq, Sk)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            w = (p / l).astype(v_ref.dtype)
+            o_ref[g, :, sl] = jax.lax.dot_general(
+                w, v_ref[g, :, sl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def short_attention_bsc(q, k, v, heads: int, scale: float):
+    """Fused non-causal attention in qkv-projection layout.
+
+    q: (B, Sq, C); k/v: (B, Sk, C) with C = heads * head_dim. Returns
+    (B, Sq, C). Heads never transpose to a head-major layout."""
+    return _bsc_forward(q, k, v, heads, scale)
+
+
+def _bsc_forward(q, k, v, heads, scale):
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    # ~4 MB of q/k/v/o block bytes per grid step: enough per-step work to
+    # amortize grid overhead while staying well inside VMEM.
+    per = (2 * sq + 2 * sk) * c * q.dtype.itemsize
+    group = 1
+    while group * 2 <= b and b % (group * 2) == 0 and (group * 2) * per <= 4 * 2**20:
+        group *= 2
+    kernel = functools.partial(_bsc_kernel, scale=scale, heads=heads, group=group)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(b // group,),
+        in_specs=[
+            pl.BlockSpec((group, sq, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, sk, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, sk, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (group, sq, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * sq * sk * c,
+            bytes_accessed=(2 * q.size + 2 * k.size) * q.dtype.itemsize,
+            transcendentals=b * heads * sq * sk,
+        ),
+    )(q, k, v)
+
+
+def _bsc_fwd(q, k, v, heads, scale):
+    return _bsc_forward(q, k, v, heads, scale), (q, k, v)
+
+
+def _bsc_bwd(heads, scale, residuals, g):
+    q, k, v = residuals
+
+    def ref(q, k, v):
+        b, sq, c = q.shape
+        d = c // heads
+        qh = q.reshape(b, sq, heads, d)
+        kh = k.reshape(b, k.shape[1], heads, d)
+        vh = v.reshape(b, v.shape[1], heads, d)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        ) * scale
+        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, vh)
+        return out.reshape(q.shape)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+short_attention_bsc.defvjp(_bsc_fwd, _bsc_bwd)
 
 
 def _flash_fwd(q, k, v, scale):

@@ -1,0 +1,107 @@
+"""Fusion-friendly GroupNorm for bf16 activations on TPU.
+
+flax's `nn.GroupNorm` upcasts the activation to fp32 to compute statistics
+and normalizes in fp32. On TPU with a bf16 compute policy that lowering
+leaves ~3 standalone `convert` ops per norm site (bf16 T(16,128) <-> fp32
+T(8,128) retile copies that XLA cannot fuse across); profiling the DDPM
+UNet forward showed those converts were 46% of device time at batch 512
+and the root cause of per-sample cost growing with batch.
+
+This implementation never materializes an fp32 copy of the activation:
+
+- per-CHANNEL sums/sumsqs reduce over the spatial (sublane) axes only, so
+  the lane (channel) axis keeps its layout and the fp32 convert fuses into
+  the reduction;
+- channel->group aggregation happens on the tiny (B, C) stat array;
+- the normalize+affine (+SiLU, +adaptive scale-shift) is folded into a
+  single elementwise `x * a + b` in the activation dtype with per-(B, C)
+  fp32-computed coefficients.
+
+Matches the reference's GroupNorm(32) semantics
+(/root/reference/xdiffusion/layers/norms.py + torch F.group_norm); stats
+are exact fp32, only the final affine application rounds in bf16.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def group_norm_coefficients(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    num_groups: int,
+    eps: float = 1e-5,
+):
+    """Per-(batch, channel) affine coefficients (a, b) such that
+    group_norm(x) == x * a + b. x: (B, ..., C); scale/bias: (C,)."""
+    c = x.shape[-1]
+    b = x.shape[0]
+    cg = c // num_groups
+    spatial_axes = tuple(range(1, x.ndim - 1))
+    n = cg
+    for ax in spatial_axes:
+        n *= x.shape[ax]
+
+    xf = x.astype(jnp.float32)
+    # Per-channel first moments over spatial axes; channel lanes untouched,
+    # so the convert fuses into the reduce.
+    s1 = jnp.sum(xf, axis=spatial_axes)            # (B, C)
+    s2 = jnp.sum(jnp.square(xf), axis=spatial_axes)  # (B, C)
+    # Channel -> group aggregation on the tiny stat array.
+    g1 = jnp.sum(s1.reshape(b, num_groups, cg), axis=-1)  # (B, G)
+    g2 = jnp.sum(s2.reshape(b, num_groups, cg), axis=-1)
+    mean = g1 / n
+    var = g2 / n - jnp.square(mean)
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)       # (B, G)
+    inv_c = jnp.repeat(inv, cg, axis=1)                    # (B, C)
+    mean_c = jnp.repeat(mean, cg, axis=1)
+    a = inv_c * scale.astype(jnp.float32)[None, :]
+    off = bias.astype(jnp.float32)[None, :] - mean_c * a
+    return a, off
+
+
+def _apply_affine(x, a, off, silu):
+    shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+    y = x * a.reshape(shape).astype(x.dtype) + off.reshape(shape).astype(x.dtype)
+    if silu:
+        y = jax.nn.silu(y)
+    return y
+
+
+def group_norm(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    num_groups: int,
+    eps: float = 1e-5,
+    silu: bool = False,
+) -> jax.Array:
+    """silu?(group_norm(x) * scale + bias) in one fused elementwise pass."""
+    a, off = group_norm_coefficients(x, scale, bias, num_groups, eps)
+    return _apply_affine(x, a, off, silu)
+
+
+def group_norm_scale_shift(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    num_groups: int,
+    t_scale: jax.Array,
+    t_shift: jax.Array,
+    eps: float = 1e-5,
+    silu: bool = True,
+) -> jax.Array:
+    """silu?(group_norm(x) * (1 + t_scale) + t_shift) — the adaptive
+    (FiLM / scale-shift) conditioning used by the BigGAN resnet blocks.
+    t_scale/t_shift: (B, C) (or broadcastable trailing-channel shapes)."""
+    a, off = group_norm_coefficients(x, scale, bias, num_groups, eps)
+    ts = t_scale.reshape(x.shape[0], -1).astype(jnp.float32)
+    tsh = t_shift.reshape(x.shape[0], -1).astype(jnp.float32)
+    a2 = a * (1.0 + ts)
+    off2 = off * (1.0 + ts) + tsh
+    return _apply_affine(x, a2, off2, silu)

@@ -136,7 +136,11 @@ class UNetBlockEDM(nn.Module):
     ) -> jax.Array:
         c_in = x.shape[-1]
         groups = 32 if c_in % 32 == 0 else max(1, c_in // 4)
-        h = nn.silu(nn.GroupNorm(num_groups=groups, dtype=self.dtype, name="norm0")(x))
+        from xdiffusion_tpu.layers.resnet import FastGroupNorm
+
+        h = FastGroupNorm(
+            num_groups=groups, dtype=self.dtype, silu=True, name="norm0"
+        )(x)
         if self.up:
             h = resample_up(h, self.resample_filter)
             x = resample_up(x, self.resample_filter)
@@ -152,12 +156,14 @@ class UNetBlockEDM(nn.Module):
         groups_out = (
             32 if self.out_channels % 32 == 0 else max(1, self.out_channels // 4)
         )
-        norm1 = nn.GroupNorm(num_groups=groups_out, dtype=self.dtype, name="norm1")
+        norm1 = FastGroupNorm(
+            num_groups=groups_out, dtype=self.dtype, silu=True, name="norm1"
+        )
         if self.adaptive_scale:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = nn.silu(norm1(h) * (1.0 + scale) + shift)
+            h = norm1(h, t_scale=scale, t_shift=shift)
         else:
-            h = nn.silu(norm1(h + emb_out))
+            h = norm1(h + emb_out)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(
@@ -175,16 +181,16 @@ class UNetBlockEDM(nn.Module):
         if self.attention:
             b, hh, ww, cc = x.shape
             num_heads = max(1, cc // self.channels_per_head)
-            n = nn.GroupNorm(num_groups=groups_out, dtype=self.dtype, name="norm2")(x)
+            n = FastGroupNorm(
+                num_groups=groups_out, dtype=self.dtype, name="norm2"
+            )(x)
             qkv = nn.Dense(3 * cc, dtype=self.dtype, name="qkv")(
                 n.reshape(b, hh * ww, cc)
             )
             q, k, v = jnp.split(qkv, 3, axis=-1)
-            to_heads = lambda t: t.reshape(
-                b, hh * ww, num_heads, cc // num_heads
-            ).transpose(0, 2, 1, 3)
-            a = dot_product_attention(to_heads(q), to_heads(k), to_heads(v))
-            a = a.transpose(0, 2, 1, 3).reshape(b, hh * ww, cc)
+            from xdiffusion_tpu.ops import attention_qkv
+
+            a = attention_qkv(q, k, v, heads=num_heads)
             a = nn.Dense(
                 cc, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="proj"
             )(a)
@@ -292,8 +298,12 @@ class SongUNetModule(nn.Module):
                     )
                 )
         self._dec = dec
-        self._out_norm = nn.GroupNorm(
-            num_groups=32 if cout % 32 == 0 else max(1, cout // 4), name="out_norm"
+        from xdiffusion_tpu.layers.resnet import FastGroupNorm
+
+        self._out_norm = FastGroupNorm(
+            num_groups=32 if cout % 32 == 0 else max(1, cout // 4),
+            silu=True,
+            name="out_norm",
         )
         self._out_conv = nn.Conv(
             self._out_channels,
@@ -343,7 +353,7 @@ class SongUNetModule(nn.Module):
                 h = mod(h, emb, deterministic=deterministic)
             else:  # block / up
                 h = mod(h, emb, deterministic=deterministic)
-        return self._out_conv(nn.silu(self._out_norm(h))).astype(jnp.float32)
+        return self._out_conv(self._out_norm(h)).astype(jnp.float32)
 
 
 def SongUNet(**params) -> SongUNetModule:
@@ -420,8 +430,12 @@ class DhariwalUNetModule(nn.Module):
                     )
                 )
         self._dec = dec
-        self._out_norm = nn.GroupNorm(
-            num_groups=32 if cout % 32 == 0 else max(1, cout // 4), name="out_norm"
+        from xdiffusion_tpu.layers.resnet import FastGroupNorm
+
+        self._out_norm = FastGroupNorm(
+            num_groups=32 if cout % 32 == 0 else max(1, cout // 4),
+            silu=True,
+            name="out_norm",
         )
         self._out_conv = nn.Conv(
             self._out_channels,
@@ -459,7 +473,7 @@ class DhariwalUNetModule(nn.Module):
                 h = mod(h, emb, deterministic=deterministic)
             else:
                 h = mod(h, emb, deterministic=deterministic)
-        return self._out_conv(nn.silu(self._out_norm(h))).astype(jnp.float32)
+        return self._out_conv(self._out_norm(h)).astype(jnp.float32)
 
 
 def DhariwalUNet(**params) -> DhariwalUNetModule:

@@ -26,8 +26,12 @@ from xdiffusion_tpu.layers.embedding import LabelEmbeddingProjection, RunProject
 from xdiffusion_tpu.layers.resnet import nearest_upsample_2x
 
 
-def _gn(c: int, name: str) -> nn.GroupNorm:
-    return nn.GroupNorm(num_groups=32 if c % 32 == 0 else max(1, c // 4), name=name)
+def _gn(c: int, name: str, silu: bool = False):
+    from xdiffusion_tpu.layers.resnet import FastGroupNorm
+
+    return FastGroupNorm(
+        num_groups=32 if c % 32 == 0 else max(1, c // 4), silu=silu, name=name
+    )
 
 
 class ResnetBlockEfficient(nn.Module):
@@ -41,9 +45,9 @@ class ResnetBlockEfficient(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         c_in = x.shape[-1]
         h = nn.Conv(self.dim_out, (3, 3), name="conv1")(
-            nn.silu(_gn(c_in, "norm1")(x))
+            _gn(c_in, "norm1", silu=True)(x)
         )
-        h = nn.silu(_gn(self.dim_out, "norm2")(h))
+        h = _gn(self.dim_out, "norm2", silu=True)(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(
@@ -209,7 +213,7 @@ class Unet(nn.Module):
         self._initial_conv = nn.Conv(
             num_features, (3, 3), use_bias=False, name="initial_conv"
         )
-        self._final_norm = _gn(num_features * mults[0], "final_norm")
+        self._final_norm = _gn(num_features * mults[0], "final_norm", silu=True)
         self._final_conv = nn.Conv(
             self._output_channels, (3, 3), use_bias=False, name="final_conv"
         )
@@ -241,7 +245,7 @@ class Unet(nn.Module):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
             h = block(h, context=context, deterministic=deterministic)
 
-        h = self._final_conv(nn.silu(self._final_norm(h)))
+        h = self._final_conv(self._final_norm(h))
         if self._is_learned_sigma:
             return tuple(jnp.split(h, 2, axis=-1))
         return h

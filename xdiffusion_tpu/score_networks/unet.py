@@ -178,8 +178,11 @@ class Unet(nn.Module):
         self._initial_conv = nn.Conv(
             channels[0], (3, 3), use_bias=False, dtype=dt, name="initial_conv"
         )
-        self._final_norm = nn.GroupNorm(
+        from xdiffusion_tpu.layers.resnet import FastGroupNorm
+
+        self._final_norm = FastGroupNorm(
             num_groups=32 if num_features % 32 == 0 else max(1, num_features // 4),
+            silu=True,
             name="final_norm",
         )
         self._final_conv = nn.Conv(
@@ -225,7 +228,7 @@ class Unet(nn.Module):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             h = self._apply_stage(stage, h, context, deterministic)
 
-        h = self._final_conv(nn.silu(self._final_norm(h)))
+        h = self._final_conv(self._final_norm(h))
         h = h.astype(jnp.float32)
 
         if self._is_learned_sigma:

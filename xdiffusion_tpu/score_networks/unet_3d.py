@@ -185,8 +185,11 @@ class Unet(nn.Module):
             use_bias=False,
             name="initial_conv",
         )
-        self._final_norm = nn.GroupNorm(
+        from xdiffusion_tpu.layers.resnet import FastGroupNorm
+
+        self._final_norm = FastGroupNorm(
             num_groups=32 if num_features % 32 == 0 else max(1, num_features // 4),
+            silu=True,
             name="final_norm",
         )
         self._final_conv = nn.Conv(
@@ -252,7 +255,7 @@ class Unet(nn.Module):
             )
             stage_id += 1
 
-        h = self._final_conv(nn.silu(self._final_norm(h)))
+        h = self._final_conv(self._final_norm(h))
         h = _unfold(h, f)
         if self._is_learned_sigma:
             return tuple(jnp.split(h, 2, axis=-1))

@@ -138,9 +138,12 @@ class Unet(nn.Module):
         )
         self._time_fc1 = nn.Dense(self._time_embed_dim, name="time_fc1")
         self._time_fc2 = nn.Dense(self._time_embed_dim, name="time_fc2")
-        self._final_norm = nn.GroupNorm(
+        from xdiffusion_tpu.layers.resnet import FastGroupNorm
+
+        self._final_norm = FastGroupNorm(
             num_groups=32 if model_channels % 32 == 0
             else max(1, model_channels // 4),
+            silu=True,
             name="final_norm",
         )
         self._final_conv = nn.Conv(
@@ -223,7 +226,7 @@ class Unet(nn.Module):
                 stage, h, emb, temb, frame_indices, attn_mask, t
             )
 
-        h = self._final_conv(nn.silu(self._final_norm(h)))
+        h = self._final_conv(self._final_norm(h))
         h = h.astype(jnp.float32).reshape(b, t, hh, ww, self._out_channels)
         if self._is_learned_sigma:
             return tuple(jnp.split(h, 2, axis=-1))
