@@ -75,9 +75,33 @@ def test_model_config_constructs_process(rel, monkeypatch):
     assert model is not None
 
 
+@pytest.mark.parametrize(
+    "rel",
+    [r for r in CONFIGS if not _is_fragment(r) and not _is_autoencoder(r)],
+    ids=str,
+)
+def test_model_config_abstract_init(rel, monkeypatch):
+    """Default-suite structural init for EVERY config at full size:
+    jax.eval_shape traces the whole parameter initialization (every layer
+    constructor, shape rule, and wiring decision) without spending a FLOP,
+    so reference-scale models are init-checked on every run. The concrete
+    (compute-heavy) init stays opt-in below."""
+    monkeypatch.chdir(REPO)
+    from xdiffusion_tpu.training.image.train import build_model
+
+    cfg = load_yaml(str(REPO / rel))
+    model = build_model(cfg)
+    shapes = jax.eval_shape(model.init_params, jax.random.PRNGKey(0))
+    leaves = jax.tree_util.tree_leaves(shapes)
+    assert len(leaves) > 0
+    assert all(
+        all(int(d) >= 0 for d in leaf.shape) for leaf in leaves
+    )
+
+
 @pytest.mark.skipif(
     os.environ.get("XDIFFUSION_FULL_CONFIG_ZOO", "0") != "1",
-    reason="full-size init is slow; opt in with XDIFFUSION_FULL_CONFIG_ZOO=1",
+    reason="full-size concrete init is slow; opt in with XDIFFUSION_FULL_CONFIG_ZOO=1",
 )
 @pytest.mark.parametrize(
     "rel",

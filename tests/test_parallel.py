@@ -159,3 +159,35 @@ def test_tensor_parallel_dit_train_step():
     flat2 = flatten_dict(new_params["params"], sep="/")
     qkv2 = [v for k, v in flat2.items() if k.endswith("attn/qkv/kernel")]
     assert all("tensor" in str(v.sharding.spec) for v in qkv2)
+
+
+def test_device_importance_sampling_in_train_step():
+    """Loss-aware importance sampling runs entirely inside the jitted,
+    DP-sharded train step: timesteps drawn from the device-resident
+    loss-history distribution, history updated in the returned state —
+    no (B,) host round-trip per step."""
+    from xdiffusion_tpu.importance_sampling import ImportanceSampler
+
+    model = GaussianDiffusion_DDPM(tiny_config())
+    mesh = make_mesh()
+    params = model.init_params(jax.random.PRNGKey(0))
+    tx = default_optimizer().build()
+    sampler = ImportanceSampler(num_timesteps=10, history_per_term=2)
+    state = create_train_state(params, tx, importance_sampler=sampler)
+    assert state.importance_state is not None
+    step = make_train_step(model, tx, mesh, importance_sampler=sampler)
+
+    batch = {
+        "images": np.random.default_rng(0)
+        .uniform(size=(16, 8, 8, 1))
+        .astype(np.float32)
+    }
+    sharded = shard_batch(batch, mesh)
+    rng = jax.random.PRNGKey(1)
+    for _ in range(3):
+        state, metrics = step(state, sharded, rng)
+    counts = np.asarray(state.importance_state["loss_counts"])
+    # 48 losses fed back across 3 steps: history is filling up.
+    assert counts.sum() > 0
+    assert np.all(np.isfinite(np.asarray(state.importance_state["loss_history"])))
+    assert np.all(np.isfinite(np.asarray(metrics["loss"])))

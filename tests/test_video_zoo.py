@@ -296,3 +296,81 @@ def test_fdm_observed_frames_spliced_and_masked():
     ctx3["x0"] = x0 + 1.0
     out3 = net.apply(params, x, ctx3)
     assert not np.allclose(np.asarray(out), np.asarray(out3), atol=1e-5)
+
+
+def test_temporal_only_finetuning_freezes_backbone(tmp_path):
+    """The Video-LDM/AnimateDiff fine-tuning recipe end-to-end: image
+    backbone transferred via partial restore, optimizer masked to the
+    temporal/motion params (training/video/train.py
+    train_temporal_modules_only) — after a train step the backbone is
+    bit-identical and at least one temporal param moved."""
+    import numpy as np
+    import optax
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    from xdiffusion_tpu import checkpoints
+    from xdiffusion_tpu.diffusion.ddpm import GaussianDiffusion_DDPM
+    from xdiffusion_tpu.parallel import create_train_state, make_train_step
+
+    # Donor: unet_3d state checkpoint.
+    cfg = tiny_video_config(frames=4)
+    donor = GaussianDiffusion_DDPM(cfg)
+    donor_params = donor.init_params(jax.random.PRNGKey(0))
+    state0 = create_train_state(donor_params, optax.sgd(1e-2))
+    checkpoints.save_checkpoint(str(tmp_path / "ckpt"), state0, 1)
+
+    # Recipient: AnimateDiff net on the same backbone config.
+    ad_cfg_dict = copy.deepcopy(cfg.to_dict())
+    ad_cfg_dict["diffusion"]["score_network"]["target"] = (
+        "xdiffusion.score_networks.animate_diff.Unet"
+    )
+    model = GaussianDiffusion_DDPM(DotConfig(ad_cfg_dict))
+    params = model.init_params(jax.random.PRNGKey(1))
+    merged, _, missing = checkpoints.restore_params_partial(
+        str(tmp_path / "ckpt"), params
+    )
+    assert missing
+
+    missing_set = set(missing)
+
+    def labels(tree):
+        flat = flatten_dict(tree)
+        return unflatten_dict(
+            {
+                p: (
+                    "train"
+                    if "/".join(str(k) for k in p) in missing_set
+                    else "freeze"
+                )
+                for p in flat
+            }
+        )
+
+    tx = optax.multi_transform(
+        {"train": optax.sgd(1e-1), "freeze": optax.set_to_zero()}, labels
+    )
+    # Snapshot before the step: make_train_step donates the state buffers.
+    snapshot = jax.tree.map(lambda a: np.array(a), merged)
+    state = create_train_state(merged, tx)
+    step = make_train_step(model, tx)
+
+    videos = np.random.default_rng(0).uniform(size=(2, 4, 8, 8, 1)).astype(
+        np.float32
+    )
+    state, metrics = step(state, {"images": videos}, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+
+    flat_before = flatten_dict(snapshot)
+    flat_after = flatten_dict(state.params)
+    moved = 0
+    for path, before in flat_before.items():
+        name = "/".join(str(k) for k in path)
+        after = flat_after[path]
+        if name in missing_set:
+            moved += int(not np.allclose(np.asarray(before), np.asarray(after)))
+        else:
+            # Frozen backbone: bit-identical.
+            np.testing.assert_array_equal(
+                np.asarray(before), np.asarray(after), err_msg=name
+            )
+    assert moved > 0

@@ -165,3 +165,34 @@ def test_s4d_kernel_behaves_like_recurrence():
     np.testing.assert_allclose(
         np.asarray(y[:, :6]), np.asarray(y2[:, :6]), atol=1e-4
     )
+
+
+def test_wideformer_forward_and_grads():
+    """WideFormer (reference score_networks/wideformer.py:55-209): width
+    parallel double-stream blocks per layer, feature-concat re-viewed as a
+    (width*L)-token sequence, Conv1d token mixer back to L tokens."""
+    cls = get_obj_from_str("xdiffusion.score_networks.wideformer.WideFormer")
+    cfg = flux_cfg().to_dict()
+    cfg.update({"transformer_width": 2, "depth": 2, "max_text_tokens": 6})
+    net = cls(config=DotConfig(cfg))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 1))
+    ctx = {
+        "timestep": jnp.array([0.1, 0.9]),
+        "t5_text_embeddings": jax.random.normal(
+            jax.random.PRNGKey(1), (2, 6, 48)
+        ),
+        "clip_text_embeddings": jax.random.normal(
+            jax.random.PRNGKey(2), (2, 32)
+        ),
+    }
+    params = jax.jit(net.init)(jax.random.PRNGKey(3), x, ctx)
+    # Width is visible in the parameter tree: parallel blocks per layer and
+    # a token mixer on every block past layer 0.
+    top = params["params"]
+    assert "layer0_block0" in top and "layer0_block1" in top
+    assert "token_mixer" in top["layer1_block0"]
+    assert "token_mixer" not in top["layer0_block0"]
+    out = jax.jit(net.apply)(params, x, ctx)
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert _grad_ok(net, params, x, ctx)

@@ -22,6 +22,12 @@ def main():
     p.add_argument("--resume_from", type=str, default="")
     p.add_argument("--load_model_weights_from_checkpoint", type=str, default="")
     p.add_argument("--load_vae_weights_from_checkpoint", type=str, default="")
+    p.add_argument(
+        "--train_temporal_modules_only",
+        action="store_true",
+        help="freeze the transferred 2D backbone; train only temporal "
+        "modules (needs --load_model_weights_from_checkpoint)",
+    )
     p.add_argument("--num_samples", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--force_cpu", action="store_true")
@@ -44,6 +50,7 @@ def main():
         save_and_sample_every_n=args.save_and_sample_every_n,
         joint_image_video_training_step=args.joint_image_video_training_step,
         resume_from=args.resume_from or None,
+        train_temporal_modules_only=args.train_temporal_modules_only,
         load_model_weights_from_checkpoint=(
             args.load_model_weights_from_checkpoint or None
         ),

@@ -76,6 +76,21 @@ def _load_real(split: str, image_size: int):
     if os.path.exists(path):
         data = np.load(path)
         return data["videos"], data["labels"]
+    # Reference on-disk archive layout (MovingMNIST256, reference
+    # datasets/moving_mnist_256.py:82-106): videos_data.npz holding a flat
+    # (N*F, 256, 256) uint8 stream + labels_data.npz with per-video digit
+    # labels. Honor real archives when present.
+    for root in (data_root(), "."):
+        vpath = os.path.join(root, "MovingMNIST256", "videos_data.npz")
+        lpath = os.path.join(root, "MovingMNIST256", "labels_data.npz")
+        if os.path.exists(vpath) and os.path.exists(lpath):
+            videos = np.load(vpath)["arr_0"]
+            labels = np.load(lpath)["arr_0"]
+            num_frames = 30
+            n = videos.shape[0] // num_frames
+            videos = videos.reshape(n, num_frames, 256, 256, 1)
+            labels = labels.reshape(n, num_frames, -1)[:, 0, :]
+            return videos, labels
     return None
 
 

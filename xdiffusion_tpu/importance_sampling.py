@@ -6,11 +6,13 @@ Split by execution domain, which is the TPU-native design point:
 
 - `UniformSampler` is pure and device-side: it draws timesteps inside the
   jitted train step from the step rng (no host round-trip).
-- `ImportanceSampler` (Improved-DDPM loss-history sampling) is inherently
-  stateful across steps, so it lives on the host: the train loop asks it for
-  (t, weights) numpy arrays which are fed in with the batch, and feeds the
-  returned per-example losses back into its history. This costs one tiny
-  (B,) transfer per step and keeps the jitted program pure.
+- `ImportanceSampler` (Improved-DDPM loss-history sampling) is stateful
+  across steps. Its state (per-timestep loss history + counts) is a small
+  pytree that lives ON DEVICE inside the TrainState: timestep sampling,
+  weight computation, and the rolling history update all run inside the
+  jitted train step — zero host round-trips. The host-side
+  sample()/update_with_all_losses() path is kept for reference-parity
+  testing and non-jitted callers.
 """
 
 from __future__ import annotations
@@ -111,3 +113,62 @@ class ImportanceSampler(ScheduleSampler):
 
     def _warmed_up(self) -> bool:
         return bool((self._loss_counts == self.history_per_term).all())
+
+    # -- device-side path (runs inside the jitted train step) ---------------
+
+    @property
+    def device_side(self) -> bool:
+        return True
+
+    def init_device_state(self):
+        """Loss-history state pytree carried in the TrainState."""
+        return {
+            "loss_history": jnp.zeros(
+                (self.num_timesteps, self.history_per_term), jnp.float32
+            ),
+            "loss_counts": jnp.zeros((self.num_timesteps,), jnp.int32),
+        }
+
+    def device_weights(self, state) -> jax.Array:
+        """Normalized sampling distribution; uniform until warmed up."""
+        n = self.num_timesteps
+        warmed = jnp.all(state["loss_counts"] == self.history_per_term)
+        w = jnp.sqrt(jnp.mean(state["loss_history"] ** 2, axis=-1))
+        w = w / jnp.maximum(jnp.sum(w), 1e-12)
+        w = w * (1.0 - self.uniform_prob) + self.uniform_prob / n
+        return jnp.where(warmed, w, jnp.full((n,), 1.0 / n))
+
+    def device_sample(
+        self, rng: jax.Array, batch_size: int, state
+    ) -> Tuple[jax.Array, jax.Array]:
+        """(timesteps, importance weights) drawn inside the traced step."""
+        p = self.device_weights(state)
+        t = jax.random.choice(rng, self.num_timesteps, (batch_size,), p=p)
+        weights = 1.0 / (self.num_timesteps * p[t])
+        return t.astype(jnp.int32), weights.astype(jnp.float32)
+
+    def device_update(self, state, ts: jax.Array, losses: jax.Array):
+        """Rolling per-timestep history update. Batch entries are applied
+        sequentially (a scan of tiny scatters) so duplicate timesteps
+        within a batch stack exactly like the host implementation."""
+        h = self.history_per_term
+
+        def body(st, tl):
+            t, loss = tl
+            row = st["loss_history"][t]
+            cnt = st["loss_counts"][t]
+            full = cnt == h
+            shifted = jnp.concatenate([row[1:], loss[None]])
+            appended = row.at[jnp.minimum(cnt, h - 1)].set(loss)
+            new_row = jnp.where(full, shifted, appended)
+            return {
+                "loss_history": st["loss_history"].at[t].set(new_row),
+                "loss_counts": st["loss_counts"]
+                .at[t]
+                .set(jnp.where(full, cnt, cnt + 1)),
+            }, None
+
+        state, _ = jax.lax.scan(
+            body, state, (ts.astype(jnp.int32), losses.astype(jnp.float32))
+        )
+        return state

@@ -24,18 +24,28 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     ema_params: Any = None  # None disables EMA tracking
+    # Device-resident loss-history state for loss-aware importance sampling
+    # (ImportanceSampler.init_device_state()); None when unused.
+    importance_state: Any = None
 
 
 def create_train_state(
     params,
     tx: optax.GradientTransformation,
     ema: bool = False,
+    importance_sampler=None,
 ) -> TrainState:
     return TrainState(
         step=jnp.zeros((), dtype=jnp.int32),
         params=params,
         opt_state=tx.init(params),
         ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema else None,
+        importance_state=(
+            importance_sampler.init_device_state()
+            if importance_sampler is not None
+            and hasattr(importance_sampler, "init_device_state")
+            else None
+        ),
     )
 
 
@@ -45,6 +55,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     ema_decay: Optional[float] = None,
     param_transform: Optional[Callable[[Any], Any]] = None,
+    importance_sampler=None,
 ) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
     """Builds the jitted train step.
 
@@ -69,6 +80,17 @@ def make_train_step(
         images = batch["images"]
         timesteps = batch.get("timesteps")
         loss_weights = batch.get("loss_weights")
+        if (
+            timesteps is None
+            and importance_sampler is not None
+            and state.importance_state is not None
+        ):
+            # Loss-aware importance sampling entirely on device: draw
+            # (t, w) from the device-resident loss-history distribution.
+            rng, rng_t = jax.random.split(rng)
+            timesteps, loss_weights = importance_sampler.device_sample(
+                rng_t, images.shape[0], state.importance_state
+            )
         context = {
             k: v
             for k, v in batch.items()
@@ -103,11 +125,20 @@ def make_train_step(
                 new_params,
             )
 
+        new_importance = state.importance_state
+        if importance_sampler is not None and state.importance_state is not None:
+            new_importance = importance_sampler.device_update(
+                state.importance_state,
+                metrics["timesteps"],
+                metrics["loss_per_example"],
+            )
+
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
             opt_state=new_opt_state,
             ema_params=new_ema,
+            importance_state=new_importance,
         )
         out_metrics = {
             "loss": metrics["loss"],

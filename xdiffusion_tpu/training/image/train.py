@@ -203,7 +203,18 @@ def train(
             f"(base frozen)",
             flush=True,
         )
-    state = create_train_state(params, tx, ema=use_ema)
+    importance = (
+        model.importance_sampler() if hasattr(model, "importance_sampler") else None
+    )
+    device_importance = importance is not None and hasattr(
+        importance, "init_device_state"
+    )
+    state = create_train_state(
+        params,
+        tx,
+        ema=use_ema,
+        importance_sampler=importance if device_importance else None,
+    )
 
     start_step = 0
     if resume_from:
@@ -222,13 +233,19 @@ def train(
 
     ema_decay = float(ema_cfg.get("ema_decay")) if use_ema else None
     train_step = make_train_step(
-        model, tx, mesh, ema_decay=ema_decay, param_transform=param_transform
+        model,
+        tx,
+        mesh,
+        ema_decay=ema_decay,
+        param_transform=param_transform,
+        importance_sampler=importance if device_importance else None,
     )
 
-    importance = (
-        model.importance_sampler() if hasattr(model, "importance_sampler") else None
+    host_importance = (
+        importance is not None
+        and not device_importance
+        and not importance.device_side
     )
-    host_importance = importance is not None and not importance.device_side
 
     sn_config = (
         config if "diffusion" in config else model.models()[0].config()

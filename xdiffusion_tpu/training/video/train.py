@@ -69,6 +69,7 @@ def train(
     resume_from: Optional[str] = None,
     load_model_weights_from_checkpoint: Optional[str] = None,
     load_vae_weights_from_checkpoint: Optional[str] = None,
+    train_temporal_modules_only: bool = False,
     seed: int = 0,
     num_samples: int = 4,
     sampling_steps: int = 0,
@@ -146,23 +147,62 @@ def train(
     print(f"score network parameters: {n_params/1e6:.2f}M", flush=True)
 
     tx = build_optimizer(config)
-    state = create_train_state(params, tx)
-    start_step = 0
-    if resume_from:
-        state, start_step = checkpoints.restore_checkpoint(resume_from, state)
-    elif load_model_weights_from_checkpoint:
+    missing: list = []
+    if load_model_weights_from_checkpoint and not resume_from:
         # Image->video transfer: the checkpoint may be a 2D image UNet; the
         # matching backbone restores, the identity/zero-init temporal
         # modules keep their fresh values (reference ddpm.py:810-814).
-        new_params, ckpt_step, missing = checkpoints.restore_params_partial(
-            load_model_weights_from_checkpoint, state.params
+        params, ckpt_step, missing = checkpoints.restore_params_partial(
+            load_model_weights_from_checkpoint, params
         )
-        state = state.replace(params=new_params)
         print(
             f"warm-started from step {ckpt_step}; "
             f"{len(missing)} temporal/motion params kept at init",
             flush=True,
         )
+    if train_temporal_modules_only:
+        # Frozen image backbone: optimizer updates apply ONLY to the
+        # temporal/motion params the transfer left at init (the reference
+        # Video-LDM / AnimateDiff fine-tuning recipe: 2D weights frozen,
+        # temporal adapters trained).
+        assert load_model_weights_from_checkpoint, (
+            "train_temporal_modules_only needs "
+            "load_model_weights_from_checkpoint"
+        )
+        from flax.traverse_util import flatten_dict, unflatten_dict
+
+        missing_set = set(missing)
+
+        def labels(tree):
+            flat = flatten_dict(tree)
+            return unflatten_dict(
+                {
+                    p: (
+                        "train"
+                        if "/".join(str(k) for k in p) in missing_set
+                        else "freeze"
+                    )
+                    for p in flat
+                }
+            )
+
+        import optax
+
+        # NOT optax.masked: masked passes non-selected updates through
+        # unchanged (raw gradients); frozen params need zero updates.
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
+        n_train = len(missing)
+        print(
+            f"temporal-only fine-tuning: {n_train} trainable param tensors, "
+            "backbone frozen",
+            flush=True,
+        )
+    state = create_train_state(params, tx)
+    start_step = 0
+    if resume_from:
+        state, start_step = checkpoints.restore_checkpoint(resume_from, state)
     state = jax.device_put(state, replicated(mesh))
 
     train_step = make_train_step(model, tx, mesh)
