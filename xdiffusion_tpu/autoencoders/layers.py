@@ -47,16 +47,14 @@ class VAEResnetBlock(nn.Module):
 class VAEAttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from xdiffusion_tpu.ops import attention_qkv
+
         b, h, w, c = x.shape
         n = _gn(c, "norm")(x).reshape(b, h * w, c)
         qkv = nn.Dense(3 * c, name="qkv")(n)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         heads = max(1, c // 64)
-        to_heads = lambda t: t.reshape(b, h * w, heads, c // heads).transpose(
-            0, 2, 1, 3
-        )
-        out = dot_product_attention(to_heads(q), to_heads(k), to_heads(v))
-        out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        out = attention_qkv(q, k, v, heads=heads)
         out = nn.Dense(c, kernel_init=nn.initializers.zeros, name="proj")(out)
         return x + out.reshape(b, h, w, c)
 
