@@ -12,3 +12,11 @@ from xdiffusion_tpu.ops.attention import (  # noqa: F401
     dot_product_attention,
 )
 from xdiffusion_tpu.ops.group_norm import group_norm_silu  # noqa: F401
+from xdiffusion_tpu.ops.norm import (  # noqa: F401
+    group_norm,
+    group_norm_scale_shift,
+)
+from xdiffusion_tpu.ops.ring_attention import (  # noqa: F401
+    ring_attention,
+    sequence_parallel_attention,
+)

@@ -284,28 +284,95 @@ def _bsc_forward(q, k, v, heads, scale):
     )(q, k, v)
 
 
+def _bsc_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                    scale: float, heads: int, group: int):
+    """Whole-matrix attention backward in VMEM: recompute the (Sq, Sk)
+    softmax, then dv = p^T g, ds = p * (g k-dot - rowsum), dq = ds k,
+    dk = ds^T q — the fp32 logits/probabilities never touch HBM (the
+    XLA-recompute backward materialized them, so training still paid the
+    HBM traffic the forward kernel had eliminated)."""
+    c = q_ref.shape[-1]
+    d = c // heads
+    for gi in range(group):
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            q = q_ref[gi, :, sl]
+            k = k_ref[gi, :, sl]
+            v = v_ref[gi, :, sl]
+            g = g_ref[gi, :, sl]
+            logits = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (Sq, Sk)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            l = jnp.sum(e, axis=-1, keepdims=True)
+            p = (e / l).astype(v.dtype)  # matches forward's bf16 rounding
+            # dv = p^T @ g
+            dv_ref[gi, :, sl] = jax.lax.dot_general(
+                p, g,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dv_ref.dtype)
+            # dp = g @ v^T ; softmax backward: ds = p * (dp - sum(dp*p))
+            dp = jax.lax.dot_general(
+                g, v,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Sq, Sk)
+            pf = p.astype(jnp.float32)
+            ds = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True))
+            ds = (ds * scale).astype(q.dtype)
+            dq_ref[gi, :, sl] = jax.lax.dot_general(
+                ds, k,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dq_ref.dtype)
+            dk_ref[gi, :, sl] = jax.lax.dot_general(
+                ds, q,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dk_ref.dtype)
+
+
+def _bsc_backward(q, k, v, g, heads, scale):
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    per = (2 * sq + 3 * sk) * c * q.dtype.itemsize
+    group = 1
+    while group * 2 <= b and b % (group * 2) == 0 and (group * 2) * per <= 4 * 2**20:
+        group *= 2
+    kernel = functools.partial(
+        _bsc_bwd_kernel, scale=scale, heads=heads, group=group
+    )
+    spec_q = pl.BlockSpec((group, sq, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((group, sk, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(b // group,),
+        in_specs=[spec_q, spec_k, spec_k, spec_q],
+        out_specs=(spec_q, spec_k, spec_k),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * sq * sk * c,
+            bytes_accessed=(4 * q.size + 3 * k.size) * q.dtype.itemsize,
+            transcendentals=b * heads * sq * sk,
+        ),
+    )(q, k, v, g)
+
+
 def _bsc_fwd(q, k, v, heads, scale):
     return _bsc_forward(q, k, v, heads, scale), (q, k, v)
 
 
 def _bsc_bwd(heads, scale, residuals, g):
     q, k, v = residuals
-
-    def ref(q, k, v):
-        b, sq, c = q.shape
-        d = c // heads
-        qh = q.reshape(b, sq, heads, d)
-        kh = k.reshape(b, k.shape[1], heads, d)
-        vh = v.reshape(b, v.shape[1], heads, d)
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
-        ) * scale
-        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", w, vh)
-        return out.reshape(q.shape)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+    return _bsc_backward(q, k, v, g, heads, scale)
 
 
 short_attention_bsc.defvjp(_bsc_fwd, _bsc_bwd)
