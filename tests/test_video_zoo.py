@@ -374,3 +374,63 @@ def test_temporal_only_finetuning_freezes_backbone(tmp_path):
                 np.asarray(before), np.asarray(after), err_msg=name
             )
     assert moved > 0
+
+
+def test_fdm_training_batch_sampler():
+    """sample_fdm_training_batch follows the reference scheme
+    (training_utils.py:14-113): per-example random latent/observed frame
+    subsets, gathered frames match their source indices, masks are
+    disjoint, and every example has at least one latent frame."""
+    import numpy as np
+
+    from xdiffusion_tpu.training_utils import sample_fdm_training_batch
+
+    rng = np.random.default_rng(0)
+    videos = rng.uniform(size=(6, 16, 4, 4, 1)).astype(np.float32)
+
+    v, fi, obs, lat = sample_fdm_training_batch(videos, 16, "random", rng=rng)
+    assert v.shape == videos.shape and fi.shape == (6, 16)
+    assert obs.shape == (6, 16) and lat.shape == (6, 16)
+    # Gathered frames really come from the indicated source indices.
+    for b in range(6):
+        np.testing.assert_array_equal(v[b], videos[b][fi[b]])
+    # Disjoint masks; at least one latent frame per example.
+    assert np.all(obs * lat == 0)
+    assert np.all(lat.sum(axis=1) >= 1)
+    assert np.all((fi >= 0) & (fi < 16))
+
+    v, fi, obs, lat = sample_fdm_training_batch(videos, 16, "uniform", rng=rng)
+    np.testing.assert_array_equal(v, videos)
+    np.testing.assert_array_equal(lat, np.ones((6, 16)))
+    np.testing.assert_array_equal(obs, np.zeros((6, 16)))
+
+
+def test_fdm_loss_provides_x0_for_observed_frames():
+    """With a video_mask, loss_on_batch exposes the clean frames as
+    context['x0'] so input-splicing networks (FDM) condition on real
+    frames, not zeros; gradients differ when observed frames change."""
+    import numpy as np
+
+    from xdiffusion_tpu.diffusion.ddpm import GaussianDiffusion_DDPM
+
+    model = GaussianDiffusion_DDPM(tiny_video_config(frames=4))
+    params = model.init_params(jax.random.PRNGKey(0))
+    videos = np.random.default_rng(0).uniform(size=(2, 4, 8, 8, 1)).astype(
+        np.float32
+    )
+    mask = jnp.asarray([[True, True, True, False], [True, True, False, False]])
+    loss1, _ = model.loss_on_batch(
+        params, jax.random.PRNGKey(1), jnp.asarray(videos),
+        {"video_mask": mask},
+    )
+    # Perturb ONLY observed (conditioning) frames -> the loss must move,
+    # proving the clean frames reach the conditioning path.
+    videos2 = videos.copy()
+    videos2[0, 3] = 1.0 - videos2[0, 3]
+    videos2[1, 2:] = 1.0 - videos2[1, 2:]
+    loss2, _ = model.loss_on_batch(
+        params, jax.random.PRNGKey(1), jnp.asarray(videos2),
+        {"video_mask": mask},
+    )
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+    assert abs(float(loss1) - float(loss2)) > 1e-8

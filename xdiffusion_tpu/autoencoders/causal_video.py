@@ -65,9 +65,11 @@ def _norm(x: jax.Array, kind: str, name_scope) -> jax.Array:
         return x * jax.lax.rsqrt(
             jnp.mean(x**2, axis=-1, keepdims=True) + 1e-6
         )
+    from xdiffusion_tpu.layers.resnet import FastGroupNorm
+
     c = x.shape[-1]
     groups = 32 if c % 32 == 0 else max(1, c // 4)
-    return nn.GroupNorm(num_groups=groups, name=name_scope)(x)
+    return FastGroupNorm(num_groups=groups, name=name_scope)(x)
 
 
 class CausalResBlock3D(nn.Module):

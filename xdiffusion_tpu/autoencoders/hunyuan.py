@@ -55,9 +55,11 @@ class CausalConv3d(nn.Module):
         )(x)
 
 
-def _group_norm(c: int, name: str) -> nn.GroupNorm:
+def _group_norm(c: int, name: str):
+    from xdiffusion_tpu.layers.resnet import FastGroupNorm
+
     groups = 32 if c % 32 == 0 else max(1, c // 4)
-    return nn.GroupNorm(num_groups=groups, epsilon=1e-6, name=name)
+    return FastGroupNorm(num_groups=groups, epsilon=1e-6, name=name)
 
 
 class ResnetBlockCausal3D(nn.Module):

@@ -141,9 +141,13 @@ class _Norm(nn.Module):
             return pixel_norm(x, 1e-8)
         if self.kind == "layer_norm":
             return nn.LayerNorm(epsilon=self.eps, name="ln")(x)
+        from xdiffusion_tpu.layers.resnet import FastGroupNorm
+
         c = x.shape[-1]
         groups = 32 if c % 32 == 0 else max(1, c // 4)
-        return nn.GroupNorm(num_groups=groups, epsilon=self.eps, name="gn")(x)
+        return FastGroupNorm(
+            num_groups=groups, epsilon=self.eps, name="gn"
+        )(x)
 
 
 # -- timestep embedding (denoising decoder) ------------------------------------

@@ -404,6 +404,11 @@ class GaussianDiffusion_DDPM:
         if "video_mask" in context:
             mask = context["video_mask"][:, : x_t.shape[1], None, None, None]
             x_t = jnp.where(mask, x_t, z_0)
+            # Networks that re-splice observed frames at their input (the
+            # FDM factorized UNet reads context["x0"]) need the clean
+            # frames; without this they would splice zeros over the
+            # conditioning frames.
+            context["x0"] = z_0
 
         # Training-time CFG: drop conditioning signals to their
         # unconditional values with the configured probability.

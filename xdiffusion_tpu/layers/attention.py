@@ -125,7 +125,9 @@ class TemporalSelfAttention(nn.Module):
         head_dim = c // num_heads
 
         groups = 32 if c % 32 == 0 else max(1, c // 4)
-        hidden = nn.GroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(x)
+        from xdiffusion_tpu.layers.resnet import FastGroupNorm
+
+        hidden = FastGroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(x)
         # Fold spatial into batch: (B*H*W, F, C).
         hidden = hidden.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(hidden)
@@ -345,8 +347,10 @@ class RPEAttention(nn.Module):
                 "use use_rpe_net=True"
             )
 
+        from xdiffusion_tpu.layers.resnet import FastGroupNorm
+
         groups = 32 if c % 32 == 0 else max(1, c // 4)
-        hidden = nn.GroupNorm(num_groups=groups, name="norm")(
+        hidden = FastGroupNorm(num_groups=groups, name="norm")(
             x.reshape(b * d, t, c)
         ).reshape(b, d, t, c)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(hidden)

@@ -214,6 +214,19 @@ def train(
     step_rng = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
 
+    # Flexible-Diffusion-Modeling batch scheme (reference FDM config key
+    # training.flexible_diffusion_modeling): random latent/observed frame
+    # subsets with explicit source frame indices for the RPE attention.
+    use_fdm = bool(
+        "training" in config
+        and config.training.get("flexible_diffusion_modeling", False)
+    )
+    fdm_method = (
+        config.training.get("flexible_diffusion_modeling_method", "random")
+        if use_fdm
+        else None
+    )
+
     for step in range(start_step, num_training_steps):
         videos, labels = next(batches)
         is_image_batch = (
@@ -228,10 +241,20 @@ def train(
             mask_generator=None if is_image_batch else mask_generator,
             rng=host_rng,
         )
+        if use_fdm and not is_image_batch:
+            from xdiffusion_tpu.training_utils import sample_fdm_training_batch
+
+            videos, fi, _obs_m, lat_m = sample_fdm_training_batch(
+                videos, videos.shape[1], method=fdm_method, rng=host_rng
+            )
+            extra_ctx["video_mask"] = lat_m.astype(bool)
+            extra_ctx["frame_indices"] = fi
 
         device_batch: Dict = {"images": videos}
         if "video_mask" in extra_ctx and extra_ctx["video_mask"] is not None:
             device_batch["video_mask"] = extra_ctx["video_mask"]
+        if "frame_indices" in extra_ctx:
+            device_batch["frame_indices"] = extra_ctx["frame_indices"]
         if needs_text:
             # Label -> prompt -> tokens/embeddings, all host-side; only
             # arrays cross into the jitted step.

@@ -35,6 +35,84 @@ def fdm_random_mask(
     return masks
 
 
+def _sample_some_indices(
+    rng: np.random.Generator, max_indices: int, num_frames: int
+) -> list:
+    """Geometric-spaced random frame-index subsets (reference
+    training_utils.py:250-265)."""
+    s = int(rng.integers(1, max_indices + 1))
+    max_scale = num_frames / (s - 0.999)
+    scale = np.exp(rng.random() * np.log(max_scale))
+    pos = rng.random() * (num_frames - scale * (s - 1))
+    indices = [int(pos + i * scale) for i in range(s)]
+    if all(0 <= i < num_frames for i in indices):
+        return indices
+    return _sample_some_indices(rng, max_indices, num_frames)
+
+
+def sample_fdm_training_batch(
+    videos: np.ndarray,
+    max_frames: int,
+    method: str = "random",
+    rng: Optional[np.random.Generator] = None,
+):
+    """Flexible-Diffusion-Modeling batch sampling (arXiv:2205.11495;
+    reference training_utils.py:14-113): per example, draw random latent
+    (generated) and observed (conditioning) frame subsets from the source
+    clip, gather the selected frames, pad with random frames, and return
+    their source indices for the frame-index RPE conditioning.
+
+    videos: (B, T, H, W, C). Returns (videos' (B, N, H, W, C),
+    frame_indices (B, N) int32, observed_mask (B, N) float32,
+    latent_mask (B, N) float32)."""
+    rng = rng or np.random.default_rng()
+    b, t = videos.shape[:2]
+    n = max_frames
+
+    if method == "uniform":
+        v = videos[:, :n]
+        fi = np.tile(np.arange(n, dtype=np.int32)[None], (b, 1))
+        return (
+            v,
+            fi,
+            np.zeros((b, n), np.float32),
+            np.ones((b, n), np.float32),
+        )
+
+    obs = np.zeros((b, t), np.float32)
+    lat = np.zeros((b, t), np.float32)
+    for i in range(b):
+        lat[i, _sample_some_indices(rng, n, t)] = 1.0
+        while True:
+            remaining = n - obs[i].sum() - lat[i].sum()
+            if remaining <= 0:
+                # Every slot taken (t == n edge): the reference's loop
+                # condition alone would spin forever here.
+                break
+            mask = obs[i] if rng.random() < 0.5 else lat[i]
+            idx = np.asarray(_sample_some_indices(rng, n, t))
+            idx = idx[(obs[i, idx] + lat[i, idx]) == 0]
+            if len(idx) > remaining:
+                break
+            mask[idx] = 1.0
+
+    any_mask = np.clip(obs + lat, 0.0, 1.0)
+    fi = np.zeros((b, n), np.int64)
+    new_v = np.zeros((b, n) + videos.shape[2:], videos.dtype)
+    new_obs = np.zeros((b, n), np.float32)
+    new_lat = np.zeros((b, n), np.float32)
+    for i in range(b):
+        sel = np.nonzero(any_mask[i])[0]
+        k = len(sel)
+        fi[i, :k] = sel
+        if k < n:
+            fi[i, k:] = rng.integers(0, t, size=n - k)
+        new_v[i] = videos[i][fi[i]]
+        new_obs[i] = obs[i][fi[i]]
+        new_lat[i] = lat[i][fi[i]]
+    return new_v, fi.astype(np.int32), new_obs, new_lat
+
+
 def _resize_video(videos: np.ndarray, size: int) -> np.ndarray:
     """(B, F, H, W, C) -> (B, F, size, size, C), bilinear (host, one-off)."""
     b, f, h, w, c = videos.shape
