@@ -218,3 +218,39 @@ def test_autoregressive_scheme_covers_video():
     assert len(obs1) == 4 and lat1[0] == 8
     assert (~mask1[0][:4]).all() and mask1[0][4:].all()
     assert scheme.is_done()
+
+
+def test_prefetch_and_native_batch_assembly():
+    """The prefetch wrapper yields identical batches to the raw iterator,
+    and the native (C++) gather+normalize matches numpy exactly."""
+    import numpy as np
+
+    from xdiffusion_tpu.datasets.utils import prefetch
+    from xdiffusion_tpu.native import gather_normalize
+
+    arena = np.random.default_rng(0).integers(
+        0, 256, size=(50, 4, 4, 1)
+    ).astype(np.uint8)
+    idx = np.array([0, 49, 7, 7])
+    got = gather_normalize(arena, idx)
+    want = arena[idx].astype(np.float32) * np.float32(1.0 / 255.0)
+    np.testing.assert_array_equal(got, want)
+
+    def src():
+        for i in range(7):
+            yield {"i": np.full((2,), i)}
+
+    out = [b["i"][0] for _, b in zip(range(7), prefetch(src()))]
+    assert out == list(range(7))
+
+    # Producer exceptions surface to the consumer.
+    def bad():
+        yield {"i": np.zeros(1)}
+        raise ValueError("boom")
+
+    it = prefetch(bad())
+    next(it)
+    import pytest
+
+    with pytest.raises(ValueError):
+        next(it)

@@ -14,7 +14,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from xdiffusion_tpu.layers.resnet import avg_pool_2x, nearest_upsample_2x
-from xdiffusion_tpu.ops import dot_product_attention
 
 
 def _gn(c: int, name: str, silu: bool = False):

@@ -141,23 +141,68 @@ def mnist_cifar10(split: str, image_size: int):
     return ds
 
 
+def prefetch(iterator, depth: int = 2):
+    """Background-thread prefetch: host batch assembly overlaps the device
+    step (the TPU-native counterpart of torch DataLoader workers). The
+    thread fills a bounded queue; numpy/native gather work runs with the
+    GIL released."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def fill():
+        try:
+            for item in iterator:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # surface producer errors to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=fill, daemon=True)
+    t.start()
+
+    def gen():
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    return gen()
+
+
 def batch_iterator(
     dataset,
     batch_size: int,
     seed: int = 0,
     shuffle: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Infinite epoch-shuffled iterator of static-shape numpy batches."""
+    """Infinite epoch-shuffled iterator of static-shape numpy batches.
+    Gather + normalize run through the native batch assembler
+    (xdiffusion_tpu/native) when available."""
+    from xdiffusion_tpu.native import gather_normalize
+
     n = len(dataset)
     assert batch_size <= n, f"batch {batch_size} > dataset {n}"
     rng = np.random.default_rng(seed)
-    images = dataset.images  # uint8 (N, S, S, C)
+    images = np.ascontiguousarray(dataset.images)  # uint8 (N, S, S, C)
     labels = dataset.labels
     while True:
         order = rng.permutation(n) if shuffle else np.arange(n)
         for start in range(0, n - batch_size + 1, batch_size):
             idx = order[start : start + batch_size]
             yield {
-                "images": images[idx].astype(np.float32) / 255.0,
+                "images": gather_normalize(images, idx),
                 "classes": labels[idx].astype(np.int32),
             }

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xdiffusion_tpu.ops import attention_bshd, attention_qkv, dot_product_attention
+from xdiffusion_tpu.ops import attention_bshd, attention_qkv, dot_product_attention  # noqa: F401 (attention_bshd re-exported for long-seq callers)
 
 
 class SpatialCrossAttention(nn.Module):

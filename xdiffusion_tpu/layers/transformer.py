@@ -16,7 +16,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from xdiffusion_tpu.layers.attention import MultiHeadSelfAttention
-from xdiffusion_tpu.ops import dot_product_attention
 
 
 class TransformerBlock(nn.Module):

@@ -25,7 +25,6 @@ import numpy as np
 from flax import linen as nn
 
 from xdiffusion_tpu.config import DotConfig, instantiate_from_config
-from xdiffusion_tpu.ops import dot_product_attention
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,7 @@ import numpy as np
 from xdiffusion_tpu import checkpoints
 from xdiffusion_tpu.config import DotConfig, instantiate_from_config, load_yaml
 from xdiffusion_tpu.datasets import load_dataset
-from xdiffusion_tpu.datasets.utils import batch_iterator
+from xdiffusion_tpu.datasets.utils import batch_iterator, prefetch
 from xdiffusion_tpu.diffusion.ddpm import GaussianDiffusion_DDPM
 from xdiffusion_tpu.optim import Adam, default_optimizer
 from xdiffusion_tpu.parallel import (
@@ -130,9 +130,9 @@ def train(
     )
     # Per-host loading: each process draws a distinct stream and only
     # its share of the global batch (reference: DDP DistributedSampler).
-    batches = batch_iterator(
+    batches = prefetch(batch_iterator(
         dataset, host_batch_size, seed=seed + jax.process_index()
-    )
+    ))
 
     # Latent diffusion: load the frozen VAE and fix the latent scale from a
     # representative batch (explicit init of reference ddpm.py:171-176).

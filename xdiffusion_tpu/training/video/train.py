@@ -38,14 +38,17 @@ from xdiffusion_tpu.training_utils import (
 
 
 def video_batch_iterator(dataset, batch_size: int, seed: int = 0):
+    from xdiffusion_tpu.native import gather_normalize
+
     n = len(dataset)
     rng = np.random.default_rng(seed)
+    videos = np.ascontiguousarray(dataset.videos)
     while True:
         order = rng.permutation(n)
         for start in range(0, n - batch_size + 1, batch_size):
             idx = order[start : start + batch_size]
             yield (
-                dataset.videos[idx].astype(np.float32) / 255.0,
+                gather_normalize(videos, idx),
                 dataset.labels[idx],
             )
 
@@ -96,9 +99,11 @@ def train(
         dataset_name, config=config, split="train"
     )
     # Per-host loading (multi-host: each process draws its shard).
-    batches = video_batch_iterator(
+    from xdiffusion_tpu.datasets.utils import prefetch
+
+    batches = prefetch(video_batch_iterator(
         dataset, host_batch_size, seed=seed + jax.process_index()
-    )
+    ))
     mask_generator = make_mask_generator(model.models()[0].config())
 
     # Latent video diffusion: load the frozen causal VAE and fix the
