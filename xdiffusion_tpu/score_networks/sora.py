@@ -2,10 +2,18 @@
 
 Config-compatible counterpart of /root/reference/xdiffusion/
 score_networks/sora.py:26-465 (OpenSora's STDiT3): 3D patchify
-(pt, ph, pw) -> per-block pairs of [spatial attention within each frame,
-temporal attention across frames], each with adaLN-Zero modulation from
-the timestep embedding, T5 caption cross-attention in every block, and
-rectified-flow prediction. qk-norm (RMS) on attention queries/keys.
+(pt, ph, pw) -> `depth` PAIRS of [spatial attention within each frame,
+temporal attention across frames], each block modulated by a per-block
+scale_shift_table added to a SHARED t_block projection of the timestep
+embedding (PixArt-style), T5 caption cross-attention in every block
+(with optional text attention mask), qk RMS-norm, and rectified-flow
+prediction.
+
+Temporal conditioning mask (x_mask, reference :121-180): when
+context["video_mask"] marks conditioned frames, those frames are
+modulated with the TIMESTEP-ZERO embedding (t0) in every block and in
+the final layer — conditioned frames are processed as clean data while
+generated frames follow the sampled timestep.
 
 TPU note: spatial and temporal attentions are pure reshapes between
 (B*F, N, D) and (B*N, F, D) token layouts — no data movement beyond the
@@ -14,7 +22,7 @@ relayout XLA already fuses.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple, Union
+from typing import Any, Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -28,8 +36,9 @@ from xdiffusion_tpu.layers.norm import RMSNorm
 from xdiffusion_tpu.ops import dot_product_attention
 
 
-def _modulate(x, shift, scale):
-    return x * (1.0 + scale[:, None]) + shift[:, None]
+def _t2i_modulate(x, shift, scale):
+    # shift/scale: (B, 1, D) slices of the scale-shift table sum.
+    return x * (1.0 + scale) + shift
 
 
 class STAttention(nn.Module):
@@ -59,7 +68,12 @@ class CaptionCrossAttention(nn.Module):
     num_heads: int
 
     @nn.compact
-    def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        y: jax.Array,
+        text_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
         b, n, c = x.shape
         hd = c // self.num_heads
         q = nn.Dense(c, name="q")(x)
@@ -68,16 +82,32 @@ class CaptionCrossAttention(nn.Module):
         to_heads = lambda t, l: t.reshape(b, l, self.num_heads, hd).transpose(
             0, 2, 1, 3
         )
-        out = dot_product_attention(
-            to_heads(q, n), to_heads(k, y.shape[1]), to_heads(v, y.shape[1])
-        )
+        qh = to_heads(q, n)
+        kh = to_heads(k, y.shape[1])
+        vh = to_heads(v, y.shape[1])
+        if text_mask is not None:
+            # Mask padded caption tokens out of the kv sequence
+            # (reference y_lens path).
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+            ) * (hd**-0.5)
+            bias = jnp.where(
+                text_mask[:, None, None, :].astype(bool),
+                0.0,
+                jnp.finfo(jnp.float32).min,
+            )
+            w = jax.nn.softmax(logits + bias, axis=-1).astype(vh.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+        else:
+            out = dot_product_attention(qh, kh, vh)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         return nn.Dense(c, name="proj")(out)
 
 
 class STDiTBlock(nn.Module):
-    """One spatial-or-temporal DiT block with caption cross attention
-    (reference: sora.py:26-180)."""
+    """One spatial-or-temporal STDiT3 block (reference: sora.py:26-180):
+    per-block scale_shift_table + shared t_block modulation, optional
+    per-frame t/t0 modulation select, caption cross attention."""
 
     hidden_size: int
     num_heads: int
@@ -86,48 +116,82 @@ class STDiTBlock(nn.Module):
     qk_norm: bool = True
 
     @nn.compact
-    def __call__(self, x, y, temb, num_frames: int, deterministic=True):
-        # x: (B, F*N, D) flattened spatio-temporal tokens.
+    def __call__(
+        self,
+        x,
+        y,
+        t6,
+        num_frames: int,
+        t6_zero=None,
+        frame_mask=None,
+        text_mask=None,
+        deterministic=True,
+    ):
+        # x: (B, F*N, D); t6/t6_zero: (B, 6*D) shared t_block outputs;
+        # frame_mask: (B, F) True = generate (use t), False = conditioned
+        # (use t0).
         b, fn, d = x.shape
         f = num_frames
         n = fn // f
-        mod = nn.Dense(
-            6 * d, kernel_init=nn.initializers.zeros, name="mod"
-        )(nn.silu(temb))
-        s1, sc1, g1, s2, sc2, g2 = jnp.split(mod, 6, axis=-1)
-
-        h = _modulate(
-            nn.LayerNorm(use_bias=False, use_scale=False, name="norm1")(x),
-            s1, sc1,
+        table = self.param(
+            "scale_shift_table",
+            nn.initializers.normal(stddev=d**-0.5),
+            (6, d),
         )
+
+        def mods(t_vec):
+            m = table[None] + t_vec.reshape(b, 6, d)
+            return [m[:, i][:, None] for i in range(6)]  # each (B, 1, D)
+
+        s1, sc1, g1, s2, sc2, g2 = mods(t6)
+        masked = frame_mask is not None and t6_zero is not None
+        if masked:
+            z1, zc1, zg1, z2, zc2, zg2 = mods(t6_zero)
+            sel = frame_mask[:, :, None, None].astype(bool)  # (B, F, 1, 1)
+
+            def frame_select(a, a_zero):
+                a4 = a.reshape(b, f, n, d)
+                z4 = a_zero.reshape(b, f, n, d)
+                return jnp.where(sel, a4, z4).reshape(b, fn, d)
+
+        h = nn.LayerNorm(use_bias=False, use_scale=False, name="norm1")(x)
+        hm = _t2i_modulate(h, s1, sc1)
+        if masked:
+            hm = frame_select(hm, _t2i_modulate(h, z1, zc1))
         if self.temporal:
             # (B, F, N, D) -> (B*N, F, D): frames attend at each location.
-            h = h.reshape(b, f, n, d).transpose(0, 2, 1, 3).reshape(b * n, f, d)
-            h = STAttention(
+            hm = hm.reshape(b, f, n, d).transpose(0, 2, 1, 3).reshape(b * n, f, d)
+            hm = STAttention(
                 num_heads=self.num_heads, qk_norm=self.qk_norm, name="attn"
-            )(h)
-            h = h.reshape(b, n, f, d).transpose(0, 2, 1, 3).reshape(b, fn, d)
+            )(hm)
+            hm = hm.reshape(b, n, f, d).transpose(0, 2, 1, 3).reshape(b, fn, d)
         else:
             # (B*F, N, D): spatial attention within each frame.
-            h = h.reshape(b * f, n, d)
-            h = STAttention(
+            hm = hm.reshape(b * f, n, d)
+            hm = STAttention(
                 num_heads=self.num_heads, qk_norm=self.qk_norm, name="attn"
-            )(h)
-            h = h.reshape(b, fn, d)
-        x = x + g1[:, None] * h
+            )(hm)
+            hm = hm.reshape(b, fn, d)
+        gated = g1 * hm
+        if masked:
+            gated = frame_select(gated, zg1 * hm)
+        x = x + gated
 
         # Caption cross attention (every block).
         x = x + CaptionCrossAttention(
             num_heads=self.num_heads, name="cross_attn"
-        )(x, y)
+        )(x, y, text_mask)
 
-        h = _modulate(
-            nn.LayerNorm(use_bias=False, use_scale=False, name="norm2")(x),
-            s2, sc2,
-        )
-        h = nn.Dense(int(d * self.mlp_ratio), name="mlp1")(h)
-        h = nn.Dense(d, name="mlp2")(nn.gelu(h, approximate=True))
-        return x + g2[:, None] * h
+        h = nn.LayerNorm(use_bias=False, use_scale=False, name="norm2")(x)
+        hm = _t2i_modulate(h, s2, sc2)
+        if masked:
+            hm = frame_select(hm, _t2i_modulate(h, z2, zc2))
+        hm = nn.Dense(int(d * self.mlp_ratio), name="mlp1")(hm)
+        hm = nn.Dense(d, name="mlp2")(nn.gelu(hm, approximate=True))
+        gated = g2 * hm
+        if masked:
+            gated = frame_select(gated, zg2 * hm)
+        return x + gated
 
 
 class Sora(nn.Module):
@@ -157,32 +221,54 @@ class Sora(nn.Module):
         )
         self._t_fc1 = nn.Dense(d, name="t_fc1")
         self._t_fc2 = nn.Dense(d, name="t_fc2")
+        # Shared 6D modulation projection (reference t_block); per-block
+        # scale_shift_table params add to its output.
+        self._t_block = nn.Dense(6 * d, name="t_block")
         self._y_embedder = nn.Dense(d, name="y_embedder")
 
+        # `depth` PAIRS of (spatial, temporal) blocks (reference builds
+        # spatial_blocks and temporal_blocks each of length depth).
         blocks = []
         for i in range(int(cfg.depth)):
             blocks.append(
-                STDiTBlock(
-                    hidden_size=d,
-                    num_heads=self._num_heads,
-                    temporal=(i % 2 == 1),
-                    mlp_ratio=float(cfg.mlp_ratio),
-                    qk_norm=bool(cfg.get("qk_norm", True)),
-                    name=f"block_{i}",
+                (
+                    STDiTBlock(
+                        hidden_size=d,
+                        num_heads=self._num_heads,
+                        temporal=False,
+                        mlp_ratio=float(cfg.mlp_ratio),
+                        qk_norm=bool(cfg.get("qk_norm", True)),
+                        name=f"spatial_{i}",
+                    ),
+                    STDiTBlock(
+                        hidden_size=d,
+                        num_heads=self._num_heads,
+                        temporal=True,
+                        mlp_ratio=float(cfg.mlp_ratio),
+                        qk_norm=bool(cfg.get("qk_norm", True)),
+                        name=f"temporal_{i}",
+                    ),
                 )
             )
         self._blocks = blocks
         self._final_norm = nn.LayerNorm(
             use_bias=False, use_scale=False, name="final_norm"
         )
-        self._final_mod = nn.Dense(
-            2 * d, kernel_init=nn.initializers.zeros, name="final_mod"
-        )
         pt, ph, pw = self._patch
         self._final_proj = nn.Dense(
             pt * ph * pw * self._out_channels,
             kernel_init=nn.initializers.zeros,
             name="final_proj",
+        )
+        self._final_table = self.param(
+            "final_scale_shift_table",
+            nn.initializers.normal(stddev=d**-0.5),
+            (2, d),
+        )
+
+    def _temb(self, timestep: jax.Array) -> jax.Array:
+        return self._t_fc2(
+            nn.silu(self._t_fc1(sinusoidal_embedding(timestep, 256, max_time=1.0)))
         )
 
     def __call__(
@@ -203,17 +289,59 @@ class Sora(nn.Module):
         tokens = tokens + pos[None]
 
         timestep = context["timestep"].astype(jnp.float32)
-        temb = self._t_fc2(
-            nn.silu(self._t_fc1(sinusoidal_embedding(timestep, 256, max_time=1.0)))
-        )
+        temb = self._temb(timestep)
+        t6 = self._t_block(nn.silu(temb))
         y = self._y_embedder(context["text_embeddings"])
+        text_mask = context.get("text_attention_mask")
 
-        for block in self._blocks:
-            tokens = block(tokens, y, temb, gf, deterministic=deterministic)
+        # Temporal conditioning mask: True = generate. Only meaningful when
+        # frames align with token frames (pt == 1, the shipped configs).
+        frame_mask = None
+        t6_zero = None
+        temb_zero = None
+        vm = context.get("video_mask")
+        if vm is not None and pt == 1:
+            frame_mask = vm[:, :gf]
+            temb_zero = self._temb(jnp.zeros_like(timestep))
+            t6_zero = self._t_block(nn.silu(temb_zero))
 
-        shift, scale = jnp.split(self._final_mod(nn.silu(temb)), 2, axis=-1)
-        tokens = _modulate(self._final_norm(tokens), shift, scale)
-        tokens = self._final_proj(tokens)
+        for spatial, temporal in self._blocks:
+            tokens = spatial(
+                tokens, y, t6, gf,
+                t6_zero=t6_zero, frame_mask=frame_mask, text_mask=text_mask,
+                deterministic=deterministic,
+            )
+            tokens = temporal(
+                tokens, y, t6, gf,
+                t6_zero=t6_zero, frame_mask=frame_mask, text_mask=text_mask,
+                deterministic=deterministic,
+            )
+
+        # Final layer: scale_shift_table(2, D) + raw temb, with the same
+        # per-frame t/t0 select (reference T2IFinalLayer).
+        d = self._dim
+        final_table = self._final_table
+
+        def final_mod(t_vec):
+            m = final_table[None] + t_vec.reshape(b, 1, d)
+            shift = m[:, 0][:, None]
+            scale = m[:, 1][:, None]  # table rows: (shift, scale)
+            return shift, scale
+
+        h = self._final_norm(tokens)
+        shift, scale = final_mod(temb)
+        out_tokens = _t2i_modulate(h, shift, scale)
+        if frame_mask is not None and temb_zero is not None:
+            z_shift, z_scale = final_mod(temb_zero)
+            alt = _t2i_modulate(h, z_shift, z_scale)
+            sel = frame_mask[:, :, None, None].astype(bool)
+            n_sp = gh * gw
+            out_tokens = jnp.where(
+                sel,
+                out_tokens.reshape(b, gf, n_sp, d),
+                alt.reshape(b, gf, n_sp, d),
+            ).reshape(b, gf * n_sp, d)
+        tokens = self._final_proj(out_tokens)
 
         oc = self._out_channels
         out = tokens.reshape(b, gf, gh, gw, pt, ph, pw, oc)
