@@ -117,14 +117,21 @@ class LTXVideoTransformer(nn.Module):
         self._final_norm = nn.LayerNorm(
             use_bias=False, use_scale=False, name="final_norm"
         )
-        self._final_mod = nn.Dense(
-            2 * d, kernel_init=nn.initializers.zeros, name="final_mod"
+        # Reference: learned (2, D) scale_shift_table added to the raw temb
+        # (ltx_video.py:134-137), not a per-model Dense.
+        self._final_table = self.param(
+            "scale_shift_table",
+            lambda key: jax.random.normal(key, (2, d)) / d**0.5,
         )
         self._proj_out = nn.Dense(
             self._out_channels,
             kernel_init=nn.initializers.zeros,
             name="proj_out",
         )
+        # timestep_scale_multiplier (reference :360-361): LTX times are
+        # continuous in [0,1]; the multiplier maps them onto the discrete
+        # embedding frequency band.
+        self._t_scale = float(cfg.get("timestep_scale_multiplier", 1000))
 
     def __call__(
         self, x: jax.Array, context: Dict, deterministic: bool = True
@@ -141,9 +148,9 @@ class LTXVideoTransformer(nn.Module):
         ids = jnp.broadcast_to(ids[None], (b, f * h * w, 3))
         cos, sin = rope_frequencies(ids, self._axes_dim, 10000.0)
 
-        timestep = context["timestep"].astype(jnp.float32)
+        timestep = context["timestep"].astype(jnp.float32) * self._t_scale
         temb = self._t_fc2(
-            nn.silu(self._t_fc1(sinusoidal_embedding(timestep, 256, max_time=1.0)))
+            nn.silu(self._t_fc1(sinusoidal_embedding(timestep, 256, max_time=1000.0)))
         )
         shared_mod = self._t_block(nn.silu(temb)).reshape(b, 6, self._dim)
         y = self._caption_projection(context["text_embeddings"])
@@ -153,7 +160,8 @@ class LTXVideoTransformer(nn.Module):
                 tokens, y, shared_mod, cos, sin, deterministic=deterministic
             )
 
-        shift, scale = jnp.split(self._final_mod(nn.silu(temb)), 2, axis=-1)
+        final_mod = self._final_table[None] + temb[:, None]  # (B, 2, D)
+        shift, scale = final_mod[:, 0], final_mod[:, 1]
         tokens = self._final_norm(tokens)
         tokens = tokens * (1 + scale[:, None]) + shift[:, None]
         out = self._proj_out(tokens).reshape(
