@@ -31,7 +31,10 @@ class FastGroupNorm(nn.Module):
     device time at batch 512)."""
 
     num_groups: int
-    epsilon: float = 1e-6  # matches flax nn.GroupNorm default
+    # torch nn.GroupNorm default (the reference's convention) — imported
+    # reference checkpoints must normalize exactly as the weights were
+    # trained (flax's own GroupNorm defaults to 1e-6).
+    epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     silu: bool = False
 

@@ -9,6 +9,7 @@ through ctypes. Everything degrades to numpy if no compiler is available.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -16,11 +17,19 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_LIB_PATH = os.path.join(_HERE, "build", "libbatchgen.so")
 _SRC = os.path.join(_HERE, "batchgen.cpp")
 _lock = threading.Lock()
 _lib = None
 _tried = False
+
+
+def _lib_path() -> str:
+    # Binaries are never checked in; the build artifact is keyed on a
+    # source hash (git doesn't preserve mtimes, so mtime comparisons
+    # against a fresh checkout are meaningless).
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_HERE, "build", f"libbatchgen-{digest}.so")
 
 
 def _load():
@@ -32,20 +41,19 @@ def _load():
         if os.environ.get("XDIFFUSION_NO_NATIVE", "0") == "1":
             return None
         try:
-            if not os.path.exists(_LIB_PATH) or (
-                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
-            ):
-                os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
+            lib_path = _lib_path()
+            if not os.path.exists(lib_path):
+                os.makedirs(os.path.dirname(lib_path), exist_ok=True)
                 subprocess.run(
                     [
                         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                        "-o", _LIB_PATH, _SRC, "-lpthread",
+                        "-o", lib_path, _SRC, "-lpthread",
                     ],
                     check=True,
                     capture_output=True,
                     timeout=120,
                 )
-            lib = ctypes.CDLL(_LIB_PATH)
+            lib = ctypes.CDLL(lib_path)
             lib.gather_normalize_u8.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_float, ctypes.c_void_p,
@@ -73,6 +81,12 @@ def gather_normalize(
     arena: uint8 (N, ...) C-contiguous; idx: integer (B,)."""
     lib = _load()
     idx = np.ascontiguousarray(idx, dtype=np.int64)
+    if idx.size and (idx.min() < 0 or idx.max() >= arena.shape[0]):
+        # Match the numpy fallback's failure mode instead of an
+        # out-of-bounds read in the native path.
+        raise IndexError(
+            f"gather_normalize index out of range [0, {arena.shape[0]})"
+        )
     if lib is None or arena.dtype != np.uint8 or not arena.flags.c_contiguous:
         return arena[idx].astype(np.float32) * np.float32(scale)
     b = int(idx.shape[0])

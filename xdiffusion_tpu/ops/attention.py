@@ -114,6 +114,11 @@ def attention_qkv(
         # kernel's per-call overhead loses (A/B on the DDIM bench: kernel
         # wins 7-10% at batch>=128 with 4 heads x seq 256, ties/loses at 64).
         and b * heads * sq >= 100_000
+        # Per-grid-step VMEM block is (2*sq + 2*sk) * c * itemsize (q, out,
+        # k, v slabs); wide-channel sites must not exceed the ~16 MB VMEM
+        # budget or pallas compilation fails at runtime instead of falling
+        # back. 8 MB leaves headroom for accumulators/double-buffering.
+        and (2 * sq + 2 * sk) * c * q.dtype.itemsize <= 8 * 1024 * 1024
     ):
         from xdiffusion_tpu.ops.flash_attention import short_attention_bsc
 

@@ -186,7 +186,15 @@ class Unet(nn.Module):
             latent_mask = context["video_mask"][:, :t].astype(jnp.float32)
         else:
             latent_mask = jnp.ones((b, t), dtype=jnp.float32)
-        obs_mask = 1.0 - latent_mask
+        # The reference receives DISTINCT observed/latent masks
+        # (unet_factorized3d.py:427-437): FDM pad slots whose gathered
+        # source frames were selected by neither mask sit in neither group
+        # (indicator 0, excluded from temporal attention). Deriving
+        # obs=1-latent would misclassify those pad slots as observed.
+        if "observed_mask" in context and context["observed_mask"] is not None:
+            obs_mask = context["observed_mask"][:, :t].astype(jnp.float32)
+        else:
+            obs_mask = 1.0 - latent_mask
         attn_mask = jnp.clip(obs_mask + latent_mask, 0.0, 1.0)
 
         x0 = context.get("x0")

@@ -249,10 +249,11 @@ def train(
         if use_fdm and not is_image_batch:
             from xdiffusion_tpu.training_utils import sample_fdm_training_batch
 
-            videos, fi, _obs_m, lat_m = sample_fdm_training_batch(
+            videos, fi, obs_m, lat_m = sample_fdm_training_batch(
                 videos, videos.shape[1], method=fdm_method, rng=host_rng
             )
             extra_ctx["video_mask"] = lat_m.astype(bool)
+            extra_ctx["observed_mask"] = obs_m.astype(np.float32)
             extra_ctx["frame_indices"] = fi
 
         device_batch: Dict = {"images": videos}
@@ -260,6 +261,8 @@ def train(
             device_batch["video_mask"] = extra_ctx["video_mask"]
         if "frame_indices" in extra_ctx:
             device_batch["frame_indices"] = extra_ctx["frame_indices"]
+        if "observed_mask" in extra_ctx:
+            device_batch["observed_mask"] = extra_ctx["observed_mask"]
         if needs_text:
             # Label -> prompt -> tokens/embeddings, all host-side; only
             # arrays cross into the jitted step.
