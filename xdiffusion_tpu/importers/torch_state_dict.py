@@ -372,4 +372,15 @@ def import_score_network_params(
         )
     if target.endswith(".DiT"):
         return import_dit_params(flax_params, sd, strict=strict)
+    if target.endswith("Precond"):
+        # EDM preconditioner wrappers hold the backbone under `.model`
+        # (reference score_networks/edm.py:402-697).
+        inner = config.diffusion.score_network.params.model.target
+        sub = strip_prefix(sd, "model.") or sd
+        from xdiffusion_tpu.importers.edm import import_edm_unet_params
+
+        arch = "adm" if inner.endswith("DhariwalUNet") else "song"
+        return import_edm_unet_params(
+            flax_params, sub, arch=arch, strict=strict
+        )
     raise NotImplementedError(f"no torch importer for {target}")

@@ -33,14 +33,18 @@ from xdiffusion_tpu.config import DotConfig, instantiate_from_config
 
 
 class PositionalEmbedding(nn.Module):
-    """DDPM++ sinusoidal embedding of the noise level."""
+    """DDPM++/ADM sinusoidal embedding of the noise level
+    (reference layers/edm.py:345-362; endpoint=True divides by half-1)."""
 
     num_channels: int
     max_positions: int = 10000
+    endpoint: bool = False
 
     def __call__(self, x: jax.Array) -> jax.Array:
         half = self.num_channels // 2
-        freqs = jnp.arange(half, dtype=jnp.float32) / half
+        freqs = jnp.arange(half, dtype=jnp.float32) / (
+            half - (1 if self.endpoint else 0)
+        )
         freqs = (1.0 / self.max_positions) ** freqs
         args = x[:, None].astype(jnp.float32) * freqs[None, :]
         return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=1)
@@ -110,22 +114,34 @@ def resample_up(x: jax.Array, filt: Sequence[float]) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _edm_groups(c: int) -> int:
+    """Reference GroupNorm group count: min(32, channels // 4)
+    (layers/edm.py:160-162, min_channels_per_group=4)."""
+    return max(1, min(32, c // 4))
+
+
 class UNetBlockEDM(nn.Module):
-    """Residual block with optional resampling + self-attention.
+    """Residual block with optional resampling + self-attention, the union
+    of the DDPM++/NCSN++/ADM design points (reference layers/edm.py:218-342).
 
     adaptive_scale selects scale-shift (ADM) vs additive (DDPM++) timestep
     conditioning; skip_scale rescales the residual sum (sqrt(1/2) in the
-    Song backbones).
+    Song backbones); num_heads=1 for the Song backbones, out//64 for ADM;
+    resample_proj=True gives resampling blocks a 1x1 skip projection even
+    when channel counts match (Song convention).
     """
 
     out_channels: int
     up: bool = False
     down: bool = False
     attention: bool = False
+    num_heads: Optional[int] = None
     channels_per_head: int = 64
     dropout: float = 0.0
     skip_scale: float = 1.0
     adaptive_scale: bool = False
+    resample_proj: bool = False
+    eps: float = 1e-5
     resample_filter: Tuple[float, ...] = (1, 1)
     dtype: jnp.dtype = jnp.float32
 
@@ -134,11 +150,11 @@ class UNetBlockEDM(nn.Module):
         self, x: jax.Array, emb: jax.Array, deterministic: bool = True
     ) -> jax.Array:
         c_in = x.shape[-1]
-        groups = 32 if c_in % 32 == 0 else max(1, c_in // 4)
         from xdiffusion_tpu.layers.resnet import FastGroupNorm
 
         h = FastGroupNorm(
-            num_groups=groups, dtype=self.dtype, silu=True, name="norm0"
+            num_groups=_edm_groups(c_in), epsilon=self.eps, dtype=self.dtype,
+            silu=True, name="norm0",
         )(x)
         if self.up:
             h = resample_up(h, self.resample_filter)
@@ -152,11 +168,9 @@ class UNetBlockEDM(nn.Module):
         emb_out = nn.Dense(emb_dim, dtype=self.dtype, name="affine")(emb)[
             :, None, None, :
         ]
-        groups_out = (
-            32 if self.out_channels % 32 == 0 else max(1, self.out_channels // 4)
-        )
         norm1 = FastGroupNorm(
-            num_groups=groups_out, dtype=self.dtype, silu=True, name="norm1"
+            num_groups=_edm_groups(self.out_channels), epsilon=self.eps,
+            dtype=self.dtype, silu=True, name="norm1",
         )
         if self.adaptive_scale:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
@@ -173,15 +187,26 @@ class UNetBlockEDM(nn.Module):
             name="conv1",
         )(h)
 
-        if c_in != self.out_channels:
+        # Skip projection rule (reference layers/edm.py:285-296): a 1x1
+        # conv when channels change OR the block resamples with
+        # resample_proj; resampling with matching channels and no proj is
+        # the filter-only path (x already resampled above).
+        if c_in != self.out_channels or (
+            (self.up or self.down) and self.resample_proj
+        ):
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
         x = (x + h) * self.skip_scale
 
         if self.attention:
             b, hh, ww, cc = x.shape
-            num_heads = max(1, cc // self.channels_per_head)
+            num_heads = (
+                self.num_heads
+                if self.num_heads is not None
+                else max(1, cc // self.channels_per_head)
+            )
             n = FastGroupNorm(
-                num_groups=groups_out, dtype=self.dtype, name="norm2"
+                num_groups=_edm_groups(cc), epsilon=self.eps,
+                dtype=self.dtype, name="norm2",
             )(x)
             qkv = nn.Dense(3 * cc, dtype=self.dtype, name="qkv")(
                 n.reshape(b, hh * ww, cc)
@@ -202,9 +227,36 @@ class UNetBlockEDM(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+class FusedDownConv(nn.Module):
+    """Conv2d(kernel=3, down=True, fused_resample=True): 3x3 conv with
+    widened padding, then depthwise filter at stride 2
+    (reference layers/edm.py:125-132) — the NCSN++ residual-encoder aux
+    projection."""
+
+    out_channels: int
+    resample_filter: Tuple[float, ...] = (1, 1)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k2 = _make_filter_2d(self.resample_filter)
+        f_pad = (k2.shape[0] - 1) // 2
+        w_pad = 1  # 3x3 conv
+        h = nn.Conv(
+            self.out_channels,
+            (3, 3),
+            padding=w_pad + f_pad,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        return _depthwise(h, k2, (2, 2), [(0, 0), (0, 0)])
+
+
 class SongUNetModule(nn.Module):
     """Backbone covering DDPM++ and NCSN++ design points
-    (reference: score_networks/edm.py:18-240)."""
+    (reference: score_networks/edm.py:18-238). Sub-modules carry the
+    reference's ModuleDict key names (enc_{res}x{res}_block{i}, ...) so
+    torch-checkpoint import is a mechanical rename."""
 
     config: Any  # DotConfig of params
 
@@ -226,81 +278,113 @@ class SongUNetModule(nn.Module):
         self._res = int(cfg.img_resolution)
         self._out_channels = int(cfg.out_channels)
         skip_scale = float(np.sqrt(0.5))
-
-        if self._embedding_type == "fourier":
-            self._noise_embed = FourierEmbedding(num_channels=self._noise_ch)
-        else:
-            self._noise_embed = PositionalEmbedding(num_channels=self._noise_ch)
-        self._map_layer0 = nn.Dense(self._emb_ch, name="map_layer0")
-        self._map_layer1 = nn.Dense(self._emb_ch, name="map_layer1")
-        if self._label_dim:
-            self._map_label = nn.Dense(self._emb_ch, use_bias=False, name="map_label")
-        if self._augment_dim:
-            self._map_augment = nn.Dense(
-                self._emb_ch, use_bias=False, name="map_augment"
+        if self._encoder_type == "skip" or self._decoder_type == "skip":
+            raise NotImplementedError(
+                "encoder/decoder_type 'skip' is unused by the reference "
+                "configs (all are standard/residual)"
             )
 
-        def block(cout, **kw):
+        if self._embedding_type == "fourier":
+            self._noise_embed = FourierEmbedding(
+                num_channels=self._noise_ch, name="map_noise"
+            )
+        else:
+            # endpoint=True per reference score_networks/edm.py:81.
+            self._noise_embed = PositionalEmbedding(
+                num_channels=self._noise_ch, endpoint=True, name="map_noise"
+            )
+        self._map_layer0 = nn.Dense(self._emb_ch, name="map_layer0")
+        self._map_layer1 = nn.Dense(self._emb_ch, name="map_layer1")
+        # Label/augment projections land at NOISE-channel width and are
+        # added before map_layer0 (reference :191-207).
+        if self._label_dim:
+            self._map_label = nn.Dense(self._noise_ch, name="map_label")
+        if self._augment_dim:
+            self._map_augment = nn.Dense(
+                self._noise_ch, use_bias=False, name="map_augment"
+            )
+
+        def block(cout, name, **kw):
+            # Song block kwargs (reference :65-77): num_heads=1, eps=1e-6,
+            # resample_proj=True, additive conditioning.
             return UNetBlockEDM(
                 out_channels=cout,
                 dropout=self._dropout,
                 skip_scale=skip_scale,
                 adaptive_scale=False,
+                num_heads=1,
+                eps=1e-6,
+                resample_proj=True,
                 resample_filter=self._filter,
+                name=name,
                 **kw,
             )
 
-        # Encoder: list of (kind, module, res) where kind in
-        # {conv_in, block, down, aux_skip}.
+        # Encoder: list of (kind, module) with reference-keyed names.
         enc = []
         cout = self._mc
         res = self._res
-        enc.append(("conv_in", nn.Conv(cout, (3, 3), name="enc_conv_in"), res))
-        skips_ch = [cout]
+        enc.append(
+            ("conv_in", nn.Conv(cout, (3, 3), name=f"enc_{res}x{res}_conv"))
+        )
         for level, mult in enumerate(self._mults):
+            res = self._res >> level
             if level > 0:
-                res //= 2
-                enc.append(("down", block(cout, down=True), res))
-                skips_ch.append(cout)
+                enc.append(
+                    ("down", block(cout, f"enc_{res}x{res}_down", down=True))
+                )
                 if self._encoder_type == "residual":
                     enc.append(
                         (
-                            "aux_skip",
-                            nn.Conv(cout, (1, 1), name=f"enc_aux_{res}"),
-                            res,
+                            "aux_residual",
+                            FusedDownConv(
+                                out_channels=cout,
+                                resample_filter=self._filter,
+                                name=f"enc_{res}x{res}_aux_residual",
+                            ),
                         )
                     )
             for i in range(self._num_blocks):
                 cout = self._mc * mult
                 enc.append(
-                    ("block", block(cout, attention=(res in self._attn_res)), res)
+                    (
+                        "block",
+                        block(
+                            cout,
+                            f"enc_{res}x{res}_block{i}",
+                            attention=(res in self._attn_res),
+                        ),
+                    )
                 )
-                skips_ch.append(cout)
         self._enc = enc
 
-        # Decoder.
+        # Decoder. Attention on the level-entry in0 block and ONLY the
+        # last skip block of an attention resolution (reference :171).
         dec = []
         for level, mult in reversed(list(enumerate(self._mults))):
+            res = self._res >> level
             if level == len(self._mults) - 1:
-                dec.append(("block", block(cout, attention=True), res))
-                dec.append(("block", block(cout), res))
+                dec.append(
+                    ("block", block(cout, f"dec_{res}x{res}_in0", attention=True))
+                )
+                dec.append(("block", block(cout, f"dec_{res}x{res}_in1")))
             else:
-                res *= 2
-                dec.append(("up", block(cout, up=True), res))
+                dec.append(("up", block(cout, f"dec_{res}x{res}_up", up=True)))
             for i in range(self._num_blocks + 1):
                 cout = self._mc * mult
+                attn = i == self._num_blocks and res in self._attn_res
                 dec.append(
                     (
                         "skip_block",
-                        block(cout, attention=(res in self._attn_res)),
-                        res,
+                        block(cout, f"dec_{res}x{res}_block{i}", attention=attn),
                     )
                 )
         self._dec = dec
         from xdiffusion_tpu.layers.resnet import FastGroupNorm
 
         self._out_norm = FastGroupNorm(
-            num_groups=32 if cout % 32 == 0 else max(1, cout // 4),
+            num_groups=_edm_groups(cout),
+            epsilon=1e-6,
             silu=True,
             name="out_norm",
         )
@@ -320,33 +404,35 @@ class SongUNetModule(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         emb = self._noise_embed(noise_labels)
-        emb = nn.silu(self._map_layer0(emb))
+        # Swap the cos/sin halves (reference :194-196).
+        half = emb.shape[1] // 2
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=1)
         if self._label_dim and class_labels is not None:
             one_hot = jax.nn.one_hot(class_labels, self._label_dim)
             emb = emb + self._map_label(one_hot * math.sqrt(self._label_dim))
         if self._augment_dim and augment_labels is not None:
             emb = emb + self._map_augment(augment_labels)
+        emb = nn.silu(self._map_layer0(emb))
         emb = nn.silu(self._map_layer1(emb))
 
         skips = []
         aux = x
         h = x
-        for kind, mod, res in self._enc:
+        for kind, mod in self._enc:
             if kind == "conv_in":
                 h = mod(h)
                 skips.append(h)
-            elif kind == "down":
-                h = mod(h, emb, deterministic=deterministic)
-                skips.append(h)
-            elif kind == "aux_skip":
-                aux = resample_down(aux, self._filter)
+            elif kind == "aux_residual":
+                # x = skips[-1] = aux = (x + conv(aux)) / sqrt(2)
+                # (reference :217-218) — aux PROPAGATES the merged stream.
                 h = (h + mod(aux)) * float(np.sqrt(0.5))
+                aux = h
                 skips[-1] = h
-            else:  # block
+            else:  # down / block
                 h = mod(h, emb, deterministic=deterministic)
                 skips.append(h)
 
-        for kind, mod, res in self._dec:
+        for kind, mod in self._dec:
             if kind == "skip_block":
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = mod(h, emb, deterministic=deterministic)
@@ -362,7 +448,8 @@ def SongUNet(**params) -> SongUNetModule:
 
 class DhariwalUNetModule(nn.Module):
     """ADM backbone: adaptive scale-shift conditioning
-    (reference: score_networks/edm.py:241-400)."""
+    (reference: score_networks/edm.py:241-399). Sub-modules carry the
+    reference's ModuleDict key names for mechanical checkpoint import."""
 
     config: Any
 
@@ -375,64 +462,89 @@ class DhariwalUNetModule(nn.Module):
         self._attn_res = list(cfg.get("attn_resolutions", []) or [])
         self._dropout = float(cfg.get("dropout", 0.10))
         self._label_dim = int(cfg.get("label_dim", 0))
+        self._augment_dim = int(cfg.get("augment_dim", 0))
         self._res = int(cfg.img_resolution)
         self._out_channels = int(cfg.out_channels)
 
-        self._noise_embed = PositionalEmbedding(num_channels=self._mc)
+        self._noise_embed = PositionalEmbedding(
+            num_channels=self._mc, name="map_noise"
+        )
         self._map_layer0 = nn.Dense(self._emb_ch, name="map_layer0")
         self._map_layer1 = nn.Dense(self._emb_ch, name="map_layer1")
         if self._label_dim:
-            self._label_embed = nn.Embed(
-                self._label_dim + 1, self._emb_ch, name="map_label"
+            # Linear on one-hot labels, no bias (reference :304-314).
+            self._map_label = nn.Dense(
+                self._emb_ch, use_bias=False, name="map_label"
+            )
+        if self._augment_dim:
+            self._map_augment = nn.Dense(
+                self._mc, use_bias=False, name="map_augment"
             )
 
-        def block(cout, **kw):
+        def block(cout, name, **kw):
             return UNetBlockEDM(
                 out_channels=cout,
                 dropout=self._dropout,
                 skip_scale=1.0,
                 adaptive_scale=True,
                 channels_per_head=64,
+                name=name,
                 **kw,
             )
 
         enc = []
-        cout = self._mc
+        cout = self._mc * self._mults[0]
         res = self._res
-        enc.append(("conv_in", nn.Conv(cout, (3, 3), name="enc_conv_in"), res))
+        enc.append(
+            ("conv_in", nn.Conv(cout, (3, 3), name=f"enc_{res}x{res}_conv"))
+        )
         for level, mult in enumerate(self._mults):
+            res = self._res >> level
             if level > 0:
-                res //= 2
-                enc.append(("down", block(cout, down=True), res))
+                enc.append(
+                    ("down", block(cout, f"enc_{res}x{res}_down", down=True))
+                )
             for i in range(self._num_blocks):
                 cout = self._mc * mult
                 enc.append(
-                    ("block", block(cout, attention=(res in self._attn_res)), res)
+                    (
+                        "block",
+                        block(
+                            cout,
+                            f"enc_{res}x{res}_block{i}",
+                            attention=(res in self._attn_res),
+                        ),
+                    )
                 )
         self._enc = enc
 
         dec = []
         for level, mult in reversed(list(enumerate(self._mults))):
+            res = self._res >> level
             if level == len(self._mults) - 1:
-                dec.append(("block", block(cout, attention=True), res))
-                dec.append(("block", block(cout), res))
+                dec.append(
+                    ("block", block(cout, f"dec_{res}x{res}_in0", attention=True))
+                )
+                dec.append(("block", block(cout, f"dec_{res}x{res}_in1")))
             else:
-                res *= 2
-                dec.append(("up", block(cout, up=True), res))
+                dec.append(("up", block(cout, f"dec_{res}x{res}_up", up=True)))
             for i in range(self._num_blocks + 1):
                 cout = self._mc * mult
                 dec.append(
                     (
                         "skip_block",
-                        block(cout, attention=(res in self._attn_res)),
-                        res,
+                        block(
+                            cout,
+                            f"dec_{res}x{res}_block{i}",
+                            attention=(res in self._attn_res),
+                        ),
                     )
                 )
         self._dec = dec
         from xdiffusion_tpu.layers.resnet import FastGroupNorm
 
         self._out_norm = FastGroupNorm(
-            num_groups=32 if cout % 32 == 0 else max(1, cout // 4),
+            num_groups=_edm_groups(cout),
             silu=True,
             name="out_norm",
         )
@@ -452,21 +564,24 @@ class DhariwalUNetModule(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         emb = self._noise_embed(noise_labels)
+        if self._augment_dim and augment_labels is not None:
+            emb = emb + self._map_augment(augment_labels)
         emb = nn.silu(self._map_layer0(emb))
         emb = self._map_layer1(emb)
         if self._label_dim and class_labels is not None:
-            emb = emb + self._label_embed(class_labels.astype(jnp.int32))
+            one_hot = jax.nn.one_hot(class_labels, self._label_dim)
+            emb = emb + self._map_label(one_hot)
         emb = nn.silu(emb)
 
         skips = []
         h = x
-        for kind, mod, res in self._enc:
+        for kind, mod in self._enc:
             if kind == "conv_in":
                 h = mod(h)
             else:
                 h = mod(h, emb, deterministic=deterministic)
             skips.append(h)
-        for kind, mod, res in self._dec:
+        for kind, mod in self._dec:
             if kind == "skip_block":
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = mod(h, emb, deterministic=deterministic)
