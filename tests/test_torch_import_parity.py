@@ -14,7 +14,10 @@ import pytest
 
 pytest.importorskip("torch")
 
-from tests.reference_helpers import build_reference_score_network
+from tests.reference_helpers import (
+    build_reference_score_network,
+    randomize_zero_init,
+)
 
 CONFIGS = "/root/reference/configs/image/mnist"
 
@@ -31,6 +34,10 @@ def test_unet_forward_matches_reference():
 
     torch.manual_seed(0)
     net, _ = _ref_net(f"{CONFIGS}/ddpm_32x32_epsilon_discrete.yaml")
+    # Zero-init output convs/gates would silence whole subgraphs in the
+    # comparison — randomize them and load into BOTH stacks.
+    sd = randomize_zero_init(net.state_dict())
+    net.load_state_dict(sd)
 
     import jax
 
@@ -42,7 +49,7 @@ def test_unet_forward_matches_reference():
     ours = GaussianDiffusion_DDPM(cfg)
     params = ours.init_params(jax.random.PRNGKey(0))
     params = import_score_network_params(cfg, params, {
-        k: v.detach().numpy() for k, v in net.state_dict().items()
+        k: v.detach().numpy() for k, v in sd.items()
     })
 
     rng = np.random.default_rng(7)
@@ -69,6 +76,8 @@ def test_dit_forward_matches_reference():
 
     torch.manual_seed(0)
     net, _ = _ref_net(f"{CONFIGS}/dit.yaml")
+    sd = randomize_zero_init(net.state_dict())
+    net.load_state_dict(sd)
 
     import jax
 
@@ -80,7 +89,7 @@ def test_dit_forward_matches_reference():
     ours = GaussianDiffusion_DDPM(cfg)
     params = ours.init_params(jax.random.PRNGKey(0))
     params = import_score_network_params(cfg, params, {
-        k: v.detach().numpy() for k, v in net.state_dict().items()
+        k: v.detach().numpy() for k, v in sd.items()
     })
 
     rng = np.random.default_rng(11)
@@ -125,13 +134,14 @@ def test_ddim_sampling_trajectory_matches_reference():
     config = f"{CONFIGS}/ddpm_32x32_v_continuous.yaml"
     torch.manual_seed(0)
     ref_net, _ = _ref_net(config)
+    ref_sd = randomize_zero_init(ref_net.state_dict())
 
     from xdiffusion.diffusion.ddpm import GaussianDiffusion_DDPM as RefDDPM
     from xdiffusion.samplers.ddim import DDIMSampler as RefDDIM
     from xdiffusion.utils import load_yaml as ref_load_yaml
 
     ref_model = RefDDPM(ref_load_yaml(config))
-    ref_model._score_network.load_state_dict(ref_net.state_dict())
+    ref_model._score_network.load_state_dict(ref_sd)
     ref_model.eval()
 
     import jax
@@ -145,7 +155,7 @@ def test_ddim_sampling_trajectory_matches_reference():
     ours = GaussianDiffusion_DDPM(cfg)
     params = ours.init_params(jax.random.PRNGKey(0))
     params = import_score_network_params(cfg, params, {
-        k: v.detach().numpy() for k, v in ref_net.state_dict().items()
+        k: v.detach().numpy() for k, v in ref_sd.items()
     })
 
     rng = np.random.default_rng(3)
@@ -173,6 +183,69 @@ def test_ddim_sampling_trajectory_matches_reference():
     our_samples = np.transpose(np.asarray(our_samples), (0, 3, 1, 2))
 
     np.testing.assert_allclose(our_samples, ref_samples, atol=5e-4, rtol=5e-3)
+
+
+def test_pixart_forward_matches_reference():
+    """PixArt-alpha golden parity (reference score_networks/pixart.py:
+    123-359) on an offline fixture config: adaLN-single blocks with
+    per-block scale-shift tables, text cross-attention, the shared
+    t_block, and the final-layer table all on identical imported
+    weights."""
+    import os
+
+    import torch
+
+    config = os.path.join(
+        os.path.dirname(__file__), "fixtures", "pixart_parity.yaml"
+    )
+    torch.manual_seed(0)
+    net, _ = _ref_net(config)
+    sd = randomize_zero_init(net.state_dict())
+    net.load_state_dict(sd)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.importers.torch_state_dict import import_pixart_params
+    from xdiffusion_tpu.score_networks.pixart import PixArtAlpha
+
+    cfg = load_yaml(config)
+    ours = PixArtAlpha(config=cfg.diffusion.score_network.params)
+
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((2, 1, 32, 32), dtype=np.float32)
+    t = np.array([17, 501], dtype=np.int64)
+    classes = np.array([4, 9], dtype=np.int64)
+    tokens = rng.integers(0, 50, size=(2, 7))
+
+    ctx = {
+        "timestep": jnp.asarray(t, jnp.int32),
+        "classes": jnp.asarray(classes, jnp.int32),
+        "text_tokens": jnp.asarray(tokens, jnp.int32),
+    }
+    params = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(np.transpose(x, (0, 2, 3, 1))), ctx
+    )
+    params = import_pixart_params(
+        params, {k: v.detach().numpy() for k, v in sd.items()}
+    )
+
+    with torch.no_grad():
+        ref_out = net(
+            torch.from_numpy(x),
+            {
+                "timestep": torch.from_numpy(t),
+                "classes": torch.from_numpy(classes),
+                "text_tokens": torch.from_numpy(tokens),
+            },
+        ).numpy()
+
+    our_out = ours.apply(
+        params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), ctx
+    )
+    our_out = np.transpose(np.asarray(our_out), (0, 3, 1, 2))
+    np.testing.assert_allclose(our_out, ref_out, atol=2e-4, rtol=2e-3)
 
 
 def test_bpe_token_ids_match_reference():

@@ -26,9 +26,14 @@ def _import_and_compare(ref_net, ours, arch, x, noise, class_labels=None,
 
     import jax
 
+    from tests.reference_helpers import randomize_zero_init
     from xdiffusion_tpu.importers.edm import import_edm_unet_params
 
-    sd = {k: v.detach().numpy() for k, v in ref_net.state_dict().items()}
+    # EDM zero-inits its output convs (reference edm.py `init_zero`);
+    # randomize so the comparison is sensitive to every layer.
+    torch_sd = randomize_zero_init(ref_net.state_dict())
+    ref_net.load_state_dict(torch_sd)
+    sd = {k: v.detach().numpy() for k, v in torch_sd.items()}
     variables = ours.init(
         jax.random.PRNGKey(0),
         x.transpose(0, 2, 3, 1),

@@ -28,6 +28,10 @@ from flax.traverse_util import flatten_dict, unflatten_dict
 Array = np.ndarray
 Transform = Callable[[Array], Array]
 
+# Sentinel: resolve() returns (MULTI, fn) when a flax leaf is assembled
+# from several torch tensors; fn receives the whole state_dict.
+MULTI = object()
+
 
 # -- tensor layout transforms ------------------------------------------------
 
@@ -138,7 +142,9 @@ def _apply_mapping(
 
     `resolve(path)` returns (torch_key, transform) for a flax leaf path
     (excluding the leading "params" collection name), or None to keep the
-    existing value (e.g. paths with no reference counterpart).
+    existing value (e.g. paths with no reference counterpart). The
+    special form (MULTI, fn) computes the tensor as fn(sd) — for flax
+    leaves assembled from several torch tensors (fused kv projections).
     """
     flat = flatten_dict(flax_params)
     new = {}
@@ -151,6 +157,15 @@ def _apply_mapping(
             new[path] = value
             continue
         key, tf = found
+        if key is MULTI:
+            t = tf(sd).astype(np.asarray(value).dtype)
+            if t.shape != value.shape:
+                raise ValueError(
+                    f"shape mismatch assembling {'/'.join(map(str, path))}: "
+                    f"{t.shape} vs {value.shape}"
+                )
+            new[path] = t
+            continue
         if key not in sd:
             missing.append((path, key))
             continue
@@ -351,6 +366,119 @@ def import_dit_params(
     return _apply_mapping(flax_params, sd, resolve, strict=strict)
 
 
+# -- PixArt-alpha (reference score_networks/pixart.py:123) -------------------
+
+_PIXART_BLOCK_RE = re.compile(r"^_blocks_(\d+)$")
+_CTX_HEAD_RE = re.compile(r"^_context_heads_(\d+)$")
+
+
+def import_pixart_params(
+    flax_params: Dict, sd: Dict[str, Array], *, strict: bool = True
+) -> Dict:
+    """Import a reference PixArtAlpha state_dict into our
+    `score_networks.pixart.PixArtAlpha` param tree.
+
+    Layout notes (reference score_networks/pixart.py:24-120):
+    - blocks.{i}.attn is a fused-qkv MultiHeadSelfAttention whose rows
+      group (q, k, v) part-major — plain transposes map to our Dense.
+    - blocks.{i}.cross_attn is LastChannelCrossAttention with separate
+      bias-free to_k/to_v — concatenated into our fused `kv` Dense.
+    - ContextProjection heads live in the torch `_context_transformers`
+      ModuleList; ours keep positional order, so the k-th parameterized
+      flax head maps to the k-th `.y_proj` group in torch index order.
+    """
+    # Positional pairing of ContextProjection heads (see docstring).
+    ctx_torch_idx = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            for m in [re.match(r"^_context_transformers\.(\d+)\.y_proj\.", k)]
+            if m
+        }
+    )
+    flat = flatten_dict(flax_params)
+    ctx_flax_idx = sorted(
+        {
+            int(m.group(1))
+            for path in flat
+            for m in [_CTX_HEAD_RE.match(str(path[1] if path[0] == "params" else path[0]))]
+            if m
+        }
+    )
+    head_map = dict(zip(ctx_flax_idx, ctx_torch_idx))
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+
+        if top == "patch_embed":
+            return (
+                _leaf_name("x_embedder.proj", leaf),
+                _conv2d if leaf == "kernel" else _identity,
+            )
+        m = _PROJ_RE.match(top)
+        if m:
+            name = m.group(1)
+            base = f"_projections.{name}"
+            if len(path) > 1 and path[1] == "fc1":
+                return (_leaf_name(f"{base}.mlp.0", leaf), _dense)
+            if len(path) > 1 and path[1] == "fc2":
+                return (_leaf_name(f"{base}.mlp.2", leaf), _dense)
+            if len(path) > 1 and path[1] in ("embed", "table"):
+                # DiTLabelEmbedding / TextTokenProjection tables.
+                key = (
+                    f"{base}.embedding_table.weight"
+                    if f"{base}.embedding_table.weight" in sd
+                    else f"{base}._projection.weight"
+                )
+                return (key, _identity)
+        m = _CTX_HEAD_RE.match(top)
+        if m:
+            ti = head_map.get(int(m.group(1)))
+            if ti is None:
+                return None
+            base = f"_context_transformers.{ti}.y_proj"
+            child = path[1]
+            if child in ("fc1", "fc2"):
+                return (_leaf_name(f"{base}.{child}", leaf), _dense)
+        if top == "t_block":
+            return (_leaf_name("t_block.1", leaf), _dense if leaf == "kernel" else _identity)
+        if top == "final_scale_shift_table":
+            return ("final_layer.scale_shift_table", _identity)
+        if top == "final_proj":
+            return (_leaf_name("final_layer.linear", leaf), _dense if leaf == "kernel" else _identity)
+
+        m = _PIXART_BLOCK_RE.match(top)
+        if m:
+            base = f"blocks.{m.group(1)}"
+            child = path[1]
+            tf = _dense if leaf == "kernel" else _identity
+            if child == "scale_shift_table" or leaf == "scale_shift_table":
+                return (f"{base}.scale_shift_table", _identity)
+            if child == "attn":
+                return (_leaf_name(f"{base}.attn.{path[2]}", leaf), tf)
+            if child == "cross_attn":
+                sub = path[2]
+                if sub == "q":
+                    return (f"{base}.cross_attn.to_q.weight", _dense)
+                if sub == "kv":
+                    return (
+                        MULTI,
+                        lambda s, b=base: np.concatenate(
+                            [s[f"{b}.cross_attn.to_k.weight"],
+                             s[f"{b}.cross_attn.to_v.weight"]],
+                            axis=0,
+                        ).T,
+                    )
+                if sub == "proj":
+                    return (_leaf_name(f"{base}.cross_attn.to_out", leaf), tf)
+            if child in ("mlp_fc1", "mlp_fc2"):
+                torch_child = "fc1" if child == "mlp_fc1" else "fc2"
+                return (_leaf_name(f"{base}.mlp.{torch_child}", leaf), tf)
+        return None
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
 # -- dispatch ----------------------------------------------------------------
 
 
@@ -372,6 +500,8 @@ def import_score_network_params(
         )
     if target.endswith(".DiT"):
         return import_dit_params(flax_params, sd, strict=strict)
+    if target.endswith(".PixArtAlpha"):
+        return import_pixart_params(flax_params, sd, strict=strict)
     if target.endswith("Precond"):
         # EDM preconditioner wrappers hold the backbone under `.model`
         # (reference score_networks/edm.py:402-697).

@@ -36,6 +36,32 @@ def sinusoidal_embedding(
     return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
 
 
+def glide_timestep_embedding(
+    t: jax.Array,
+    dim: int,
+    max_period: float = 10000.0,
+    scale: float = 1.0,
+    flip_sin_to_cos: bool = True,
+) -> jax.Array:
+    """GLIDE/DiT-style sinusoidal features (reference layers/utils.py:
+    90-121): freqs = exp(-log(max_period) * arange(half) / half) — note
+    the `half` divisor, unlike the transformer variant's `half - 1` —
+    and cos-first output when flip_sin_to_cos (the default)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period)
+        * jnp.arange(half, dtype=jnp.float32)
+        / half
+    )
+    args = scale * (t.astype(jnp.float32)[:, None] * freqs[None, :])
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
 class TimestepEmbeddingProjection(nn.Module):
     """Sinusoidal features -> 2-layer SiLU MLP (reference: embedding.py:79).
 
@@ -127,8 +153,12 @@ class DiTTimestepEmbedding(nn.Module):
     @nn.compact
     def __call__(self, timestep: jax.Array, context: Dict = None) -> jax.Array:
         init = nn.initializers.normal(stddev=0.02)
-        emb = sinusoidal_embedding(
-            timestep, self.frequency_embedding_size, self.max_time
+        # Reference DiTTimestepEmbedding feeds the GLIDE-style features
+        # (embedding.py:336 -> layers/utils.py:90) — cos-first, `half`
+        # frequency divisor, no time rescaling at max_time=1000.
+        emb = glide_timestep_embedding(
+            timestep.astype(jnp.float32) * (1000.0 / self.max_time),
+            self.frequency_embedding_size,
         )
         emb = nn.Dense(self.hidden_size, kernel_init=init, dtype=self.dtype,
                        name="fc1")(emb)
@@ -145,6 +175,10 @@ class DiTLabelEmbedding(nn.Module):
 
     num_classes: int
     hidden_size: int
+    # Accepted for reference-config compatibility; train-time label
+    # dropout runs through the diffusion process's CFG mask instead
+    # (reference drops to a ZERO embedding, embedding.py:375-381).
+    drop_prob: float = 0.0
     unconditional_override: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -184,13 +218,22 @@ DiTCombineEmbeddngs = DiTCombineEmbeddings
 
 
 def sincos_position_embedding_2d(
-    embed_dim: int, grid_h: int, grid_w: int
+    embed_dim: int,
+    grid_h: int,
+    grid_w: int,
+    base_size: int = None,
+    lewei_scale: float = 1.0,
 ) -> jax.Array:
     """Fixed 2D sin-cos positional embedding, (grid_h*grid_w, embed_dim).
 
-    Half the channels encode the row coordinate, half the column, each
-    with the standard sin/cos frequency bands (reference: layers/utils.py:
-    188-286, the ViT/MAE construction).
+    Matches the reference `get_2d_sincos_pos_embed` exactly
+    (reference layers/utils.py:188-258, the ViT/MAE construction as used
+    by DiT/PixArt): the FIRST embed_dim/2 channels encode the *column*
+    coordinate and the second half the *row* coordinate (the reference
+    builds `meshgrid(grid_w, grid_h)` with w first). When `base_size` is
+    given, positions are rescaled `arange(g) / (g / base_size) /
+    lewei_scale` (reference DiT passes the default base_size=16; PixArt
+    passes base_size = grid so positions stay integral).
     """
     assert embed_dim % 4 == 0
     import numpy as np
@@ -201,13 +244,18 @@ def sincos_position_embedding_2d(
         out = np.einsum("p,f->pf", positions, omega)
         return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
-    grid_y = np.arange(grid_h, dtype=np.float64)
-    grid_x = np.arange(grid_w, dtype=np.float64)
-    yy, xx = np.meshgrid(grid_y, grid_x, indexing="ij")
-    emb_h = one_dim(embed_dim // 2, yy.reshape(-1))
+    grid_y = np.arange(grid_h, dtype=np.float32)
+    grid_x = np.arange(grid_w, dtype=np.float32)
+    if base_size is not None:
+        grid_y = grid_y / (grid_h / base_size) / lewei_scale
+        grid_x = grid_x / (grid_w / base_size) / lewei_scale
+    yy, xx = np.meshgrid(
+        grid_y.astype(np.float64), grid_x.astype(np.float64), indexing="ij"
+    )
     emb_w = one_dim(embed_dim // 2, xx.reshape(-1))
+    emb_h = one_dim(embed_dim // 2, yy.reshape(-1))
     return jnp.asarray(
-        jnp.concatenate([jnp.asarray(emb_h), jnp.asarray(emb_w)], axis=1),
+        jnp.concatenate([jnp.asarray(emb_w), jnp.asarray(emb_h)], axis=1),
         dtype=jnp.float32,
     )
 

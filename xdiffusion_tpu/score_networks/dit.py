@@ -141,8 +141,11 @@ class DiT(nn.Module):
         )
         grid = [self._spatial[0] // self._patch_size,
                 self._spatial[1] // self._patch_size]
+        # Reference DiT calls get_2d_sincos_pos_embed with its default
+        # base_size=16 (reference score_networks/dit.py:159-162), which
+        # rescales positions by 16/grid.
         self._pos_embed = sincos_position_embedding_2d(
-            self._hidden_size, grid[0], grid[1]
+            self._hidden_size, grid[0], grid[1], base_size=16
         )
         dropout = float(cfg.dropout) if "dropout" in cfg else 0.0
         self._blocks = [

@@ -37,10 +37,15 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        # Mirrors the reference LastChannelCrossAttention (reference
+        # layers/attention.py:191-228): bias-free q/k/v projections, a
+        # biased output projection that PixArt zero-initializes so
+        # cross-attention starts as the identity (reference
+        # pixart.py:343-348).
         b, n, c = x.shape
         head_dim = c // self.num_heads
-        q = nn.Dense(c, dtype=self.dtype, name="q")(x)
-        kv = nn.Dense(2 * c, dtype=self.dtype, name="kv")(y)
+        q = nn.Dense(c, use_bias=False, dtype=self.dtype, name="q")(x)
+        kv = nn.Dense(2 * c, use_bias=False, dtype=self.dtype, name="kv")(y)
         k, v = jnp.split(kv, 2, axis=-1)
         to_heads = lambda t, l: t.reshape(b, l, self.num_heads, head_dim).transpose(
             0, 2, 1, 3
@@ -49,7 +54,9 @@ class CrossAttention(nn.Module):
             to_heads(q, n), to_heads(k, y.shape[1]), to_heads(v, y.shape[1])
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        return nn.Dense(
+            c, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="proj"
+        )(out)
 
 
 class PixArtBlock(nn.Module):
@@ -175,8 +182,15 @@ class PixArtAlpha(nn.Module):
         )
         grid = [self._spatial[0] // self._patch_size,
                 self._spatial[1] // self._patch_size]
+        # Reference PixArt passes base_size = input_size // patch_size
+        # (== grid) and the config's lewei_scale (reference
+        # score_networks/pixart.py:325-332).
         self._pos_embed = sincos_position_embedding_2d(
-            self._hidden, grid[0], grid[1]
+            self._hidden,
+            grid[0],
+            grid[1],
+            base_size=grid[0],
+            lewei_scale=float(cfg.get("lewei_scale", 1.0)),
         )
         # adaLN-single: one shared MLP emits the 6 modulation signals.
         self._t_block = nn.Dense(6 * self._hidden, name="t_block")
@@ -193,7 +207,13 @@ class PixArtAlpha(nn.Module):
             )
             for _ in range(int(cfg.depth))
         ]
-        self._final_table = None  # created in __call__ via param on final
+        # Final-layer adaLN-single offsets: shift/scale = table + t_emb
+        # (reference PixArtAlphaFinalLayer, pixart.py:97-120).
+        self._final_table = self.param(
+            "final_scale_shift_table",
+            lambda key: jax.random.normal(key, (2, self._hidden))
+            / self._hidden**0.5,
+        )
         if norm_cls == "dyt":
             from xdiffusion_tpu.layers.norm import DynamicTanhNorm
 
@@ -249,7 +269,15 @@ class PixArtAlpha(nn.Module):
         for block in self._blocks:
             tokens = block(tokens, y, shared_mod, deterministic=deterministic)
 
-        tokens = self._final_norm(tokens)
+        # Final layer: shift = table[0] + t_emb, scale = table[1] + t_emb
+        # applied to the (affine-free) final norm (reference
+        # pixart.py:116-120 — note t here is the raw timestep embedding,
+        # NOT the shared t_block output).
+        fmod = self._final_table[None] + t_emb[:, None]  # (B, 2, hidden)
+        shift, scale = fmod[:, 0], fmod[:, 1]
+        tokens = (
+            self._final_norm(tokens) * (1.0 + scale[:, None]) + shift[:, None]
+        )
         tokens = self._final_proj(tokens)
         out = self._unpatchify(tokens).astype(jnp.float32)
         if self._is_learned_sigma:

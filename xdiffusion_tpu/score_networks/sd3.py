@@ -23,8 +23,8 @@ from flax import linen as nn
 from xdiffusion_tpu.config import DotConfig
 from xdiffusion_tpu.layers.embedding import (
     PatchEmbed,
+    glide_timestep_embedding,
     sincos_position_embedding_2d,
-    sinusoidal_embedding,
 )
 from xdiffusion_tpu.ops import dot_product_attention
 
@@ -41,7 +41,10 @@ class TimestepTextEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, timestep: jax.Array, pooled: jax.Array) -> jax.Array:
-        t = sinusoidal_embedding(timestep.astype(jnp.float32), 256)
+        # Reference CombinedTimestepTextProjEmbeddings uses the diffusers
+        # Timesteps features: cos-first, `half` freq divisor (reference
+        # embedding.py:766-779 -> layers/utils.py:90).
+        t = glide_timestep_embedding(timestep.astype(jnp.float32), 256)
         t = nn.Dense(self.embedding_dim, name="t_fc1")(t)
         t = nn.Dense(self.embedding_dim, name="t_fc2")(nn.silu(t))
         p = nn.Dense(self.embedding_dim, name="p_fc1")(pooled)
@@ -86,8 +89,14 @@ class MMDiTBlock(nn.Module):
         # Per-stream qkv over modulated inputs.
         xh = _modulate(nn.LayerNorm(use_bias=False, use_scale=False,
                                     name="norm_x1")(x), sx1, scx1)
+        # Final block: AdaLayerNormContinuous emits (scale, shift) — note
+        # the flipped order vs AdaLayerNormZero's (shift, scale, ...)
+        # (reference layers/sd3.py:204-211 vs :175-178).
+        c_shift, c_scale = (
+            (mc[1], mc[0]) if self.context_pre_only else (mc[0], mc[1])
+        )
         ch = _modulate(nn.LayerNorm(use_bias=False, use_scale=False,
-                                    name="norm_c1")(c), mc[0], mc[1])
+                                    name="norm_c1")(c), c_shift, c_scale)
         qkv_x = nn.Dense(3 * d, dtype=self.dtype, name="qkv_x")(xh)
         qkv_c = nn.Dense(3 * d, dtype=self.dtype, name="qkv_c")(ch)
         to_heads = lambda t, length: t.reshape(
@@ -148,8 +157,20 @@ class SD3Transformer2DModel(nn.Module):
         self._patch_embed = PatchEmbed(
             patch_size=self._patch_size, embed_dim=self._dim, name="pos_embed"
         )
+        # SD3 builds the table at pos_embed_max_size with base_size =
+        # sample grid, then center-crops the active window (reference
+        # layers/sd3.py:916-963).
         grid = self._sample_size // self._patch_size
-        self._pos_table = sincos_position_embedding_2d(self._dim, grid, grid)
+        max_size = int(cfg.get("pos_embed_max_size", 0) or grid)
+        table = sincos_position_embedding_2d(
+            self._dim, max_size, max_size, base_size=grid
+        )
+        top = (max_size - grid) // 2
+        self._pos_table = (
+            table.reshape(max_size, max_size, -1)[
+                top : top + grid, top : top + grid
+            ].reshape(grid * grid, -1)
+        )
         self._time_text_embed = TimestepTextEmbed(
             embedding_dim=self._dim,
             pooled_projection_dim=int(cfg.pooled_projection_dim),
@@ -199,7 +220,9 @@ class SD3Transformer2DModel(nn.Module):
             )
             ctx = ctx_new if ctx_new is not None else ctx
 
-        shift, scale = jnp.split(self._final_mod(nn.silu(temb)), 2, axis=-1)
+        # norm_out is AdaLayerNormContinuous: (scale, shift) chunk order
+        # (reference layers/sd3.py:204-211).
+        scale, shift = jnp.split(self._final_mod(nn.silu(temb)), 2, axis=-1)
         tokens = _modulate(self._final_norm(tokens), shift, scale)
         tokens = self._final_proj(tokens)
 
