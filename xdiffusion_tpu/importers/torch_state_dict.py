@@ -479,6 +479,96 @@ def import_pixart_params(
     return _apply_mapping(flax_params, sd, resolve, strict=strict)
 
 
+# -- SD3 MMDiT (reference score_networks/sd3.py:11) --------------------------
+
+_SD3_BLOCK_RE = re.compile(r"^block_(\d+)$")
+
+
+def _concat_dense(keys, bias=False):
+    """MULTI transform: concat several torch Linears along the output dim
+    into one fused flax Dense (kernel (I, sum O) or bias (sum O,))."""
+
+    def tf(sd):
+        if bias:
+            return np.concatenate([sd[k + ".bias"] for k in keys], axis=0)
+        return np.concatenate([sd[k + ".weight"] for k in keys], axis=0).T
+
+    return tf
+
+
+def import_sd3_params(
+    flax_params: Dict, sd: Dict[str, Array], *, strict: bool = True
+) -> Dict:
+    """Import a reference SD3Transformer2DModel state_dict into our
+    `score_networks.sd3.SD3Transformer2DModel` param tree.
+
+    The reference attention keeps separate to_q/to_k/to_v (image stream)
+    and add_{q,k,v}_proj (text stream) Linears (reference layers/
+    sd3.py:252-283); ours fuse each stream's qkv into one Dense, so the
+    three weights concatenate row-wise before the transpose.
+    """
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+        tf = _dense if leaf == "kernel" else _identity
+
+        if top == "pos_embed":  # our PatchEmbed is named pos_embed too
+            return (
+                _leaf_name("pos_embed.proj", leaf),
+                _conv2d if leaf == "kernel" else _identity,
+            )
+        if top == "time_text_embed":
+            sub = path[1]
+            tmap = {
+                "t_fc1": "timestep_embedder.linear_1",
+                "t_fc2": "timestep_embedder.linear_2",
+                "p_fc1": "text_embedder.linear_1",
+                "p_fc2": "text_embedder.linear_2",
+            }
+            if sub in tmap:
+                return (_leaf_name(f"time_text_embed.{tmap[sub]}", leaf), tf)
+        if top == "context_embedder":
+            return (_leaf_name("context_embedder", leaf), tf)
+        if top == "final_mod":
+            return (_leaf_name("norm_out.linear", leaf), tf)
+        if top == "final_proj":
+            return (_leaf_name("proj_out", leaf), tf)
+
+        m = _SD3_BLOCK_RE.match(top)
+        if m:
+            base = f"transformer_blocks.{m.group(1)}"
+            child = path[1]
+            if child == "mod_x":
+                return (_leaf_name(f"{base}.norm1.linear", leaf), tf)
+            if child == "mod_c":
+                return (_leaf_name(f"{base}.norm1_context.linear", leaf), tf)
+            if child == "qkv_x":
+                keys = [f"{base}.attn.to_q", f"{base}.attn.to_k", f"{base}.attn.to_v"]
+                return (MULTI, _concat_dense(keys, bias=leaf == "bias"))
+            if child == "qkv_c":
+                keys = [
+                    f"{base}.attn.add_q_proj",
+                    f"{base}.attn.add_k_proj",
+                    f"{base}.attn.add_v_proj",
+                ]
+                return (MULTI, _concat_dense(keys, bias=leaf == "bias"))
+            if child == "proj_x":
+                return (_leaf_name(f"{base}.attn.to_out.0", leaf), tf)
+            if child == "proj_c":
+                return (_leaf_name(f"{base}.attn.to_add_out", leaf), tf)
+            ff = {
+                "mlp_x1": f"{base}.ff.net.0.proj",
+                "mlp_x2": f"{base}.ff.net.2",
+                "mlp_c1": f"{base}.ff_context.net.0.proj",
+                "mlp_c2": f"{base}.ff_context.net.2",
+            }
+            if child in ff:
+                return (_leaf_name(ff[child], leaf), tf)
+        return None
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
 # -- dispatch ----------------------------------------------------------------
 
 
@@ -502,6 +592,8 @@ def import_score_network_params(
         return import_dit_params(flax_params, sd, strict=strict)
     if target.endswith(".PixArtAlpha"):
         return import_pixart_params(flax_params, sd, strict=strict)
+    if target.endswith(".SD3Transformer2DModel"):
+        return import_sd3_params(flax_params, sd, strict=strict)
     if target.endswith("Precond"):
         # EDM preconditioner wrappers hold the backbone under `.model`
         # (reference score_networks/edm.py:402-697).

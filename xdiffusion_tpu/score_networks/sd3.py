@@ -62,6 +62,10 @@ class MMDiTBlock(nn.Module):
     dim: int
     num_heads: int
     context_pre_only: bool = False
+    # SD3.5 MMDiT-X: a second, independent self-attention over the image
+    # stream, sharing norm_x1's output with its own modulation, whose
+    # residual lands BEFORE the MLP (reference layers/sd35.py:115-157).
+    dual_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -87,8 +91,9 @@ class MMDiTBlock(nn.Module):
         mc = jnp.split(mod_c, n_ctx_signals, axis=-1)
 
         # Per-stream qkv over modulated inputs.
-        xh = _modulate(nn.LayerNorm(use_bias=False, use_scale=False,
-                                    name="norm_x1")(x), sx1, scx1)
+        norm_x1 = nn.LayerNorm(use_bias=False, use_scale=False,
+                               name="norm_x1")(x)
+        xh = _modulate(norm_x1, sx1, scx1)
         # Final block: AdaLayerNormContinuous emits (scale, shift) — note
         # the flipped order vs AdaLayerNormZero's (shift, scale, ...)
         # (reference layers/sd3.py:204-211 vs :175-178).
@@ -114,6 +119,23 @@ class MMDiTBlock(nn.Module):
         out_c, out_x = out[:, :l], out[:, l:]
 
         x = x + gx1[:, None] * nn.Dense(d, dtype=self.dtype, name="proj_x")(out_x)
+
+        if self.dual_attention:
+            mod2 = nn.Dense(
+                3 * d, kernel_init=nn.initializers.zeros, name="mod_x2attn"
+            )(nn.silu(temb))
+            s2, sc2, g2 = jnp.split(mod2, 3, axis=-1)
+            h2 = _modulate(norm_x1, s2, sc2)
+            qkv2 = nn.Dense(3 * d, dtype=self.dtype, name="qkv_x2")(h2)
+            q2, k2, v2 = (
+                to_heads(t, n) for t in jnp.split(qkv2, 3, axis=-1)
+            )
+            attn2 = dot_product_attention(q2, k2, v2)
+            attn2 = attn2.transpose(0, 2, 1, 3).reshape(b, n, d)
+            x = x + g2[:, None] * nn.Dense(
+                d, dtype=self.dtype, name="proj_x2"
+            )(attn2)
+
         xh = _modulate(nn.LayerNorm(use_bias=False, use_scale=False,
                                     name="norm_x2")(x), sx2, scx2)
         mlp = nn.Dense(4 * d, dtype=self.dtype, name="mlp_x1")(xh)

@@ -10,59 +10,28 @@ implementation).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
-
-import jax
-import jax.numpy as jnp
-from flax import linen as nn
-
-from xdiffusion_tpu.ops import dot_product_attention
 from xdiffusion_tpu.score_networks.sd3 import (
     MMDiTBlock,
     SD3Transformer2DModel as _SD3,
-    _modulate,
 )
 
 
-class MMDiTXBlock(MMDiTBlock):
-    """MMDiT block + parallel second self-attention on the image stream."""
-
-    @nn.compact
-    def __call__(self, x, c, temb, deterministic: bool = True):
-        b, n, d = x.shape
-        # Second self-attention over the modulated image stream. Computed
-        # before delegating so both paths share the same modulation source.
-        mod2 = nn.Dense(
-            3 * d, kernel_init=nn.initializers.zeros, name="mod_x2attn"
-        )(nn.silu(temb))
-        s, sc, g = jnp.split(mod2, 3, axis=-1)
-        h = _modulate(
-            nn.LayerNorm(use_bias=False, use_scale=False, name="norm_x2attn")(x),
-            s, sc,
-        )
-        hd = d // self.num_heads
-        qkv = nn.Dense(3 * d, name="qkv_x2")(h)
-        q, k, v = (
-            t.reshape(b, n, self.num_heads, hd).transpose(0, 2, 1, 3)
-            for t in jnp.split(qkv, 3, axis=-1)
-        )
-        attn2 = dot_product_attention(q, k, v)
-        attn2 = attn2.transpose(0, 2, 1, 3).reshape(b, n, d)
-        attn2 = nn.Dense(d, name="proj_x2")(attn2)
-
-        x_out, c_out = super().__call__(x, c, temb, deterministic=deterministic)
-        return x_out + g[:, None] * attn2, c_out
-
-
 class SD35Transformer2DModel(_SD3):
-    """SD3 with MMDiT-X blocks in the first dual_attention_layers."""
+    """SD3 with MMDiT-X (dual-attention) blocks in the first
+    dual_attention_layers. The dual path is implemented inside
+    MMDiTBlock (sd3.py) so its residual lands before the MLP, matching
+    the reference ordering (reference layers/sd35.py:115-165)."""
 
     def _make_block(self, i: int, n_layers: int):
-        n_dual = int(self.config.get("dual_attention_layers", 2))
-        cls = MMDiTXBlock if i < n_dual else MMDiTBlock
-        return cls(
+        # Config lists the block indices that get the dual path
+        # (reference score_networks/sd35.py:74); an int N is accepted as
+        # shorthand for the first N blocks.
+        dual = self.config.get("dual_attention_layers", ())
+        in_dual = i < int(dual) if isinstance(dual, int) else i in tuple(dual)
+        return MMDiTBlock(
             dim=self._dim,
             num_heads=self._num_heads,
             context_pre_only=(i == n_layers - 1),
+            dual_attention=in_dual,
             name=f"block_{i}",
         )
