@@ -132,16 +132,102 @@ class TextPromptsPreprocessor:
         return new_context
 
 
+class SD3EncoderStack:
+    """The three frozen SD3 text encoders + the joint-embedding recipe
+    (reference context.py:284-345 / arXiv:2403.03206 §4):
+
+    - sequence: penultimate CLIP hiddens concat channel-wise (77 x 2048),
+      zero-padded along channels to the T5 width (or vice versa), then
+      concat with the T5 hiddens along the sequence axis;
+    - pooled: the two CLIP projected ("text_embeds") vectors concat.
+
+    `clip1`/`clip2`/`t5` are (flax_module, params, tokenize_fn) triples
+    where tokenize_fn(prompts, max_length) -> int32 ids (B, L) — built
+    from HF assets by `for_pretrained`, or injected directly in tests.
+    """
+
+    def __init__(self, clip1, clip2, t5, clip1_len: int, clip2_len: int,
+                 t5_len: int):
+        self._clip1, self._clip2, self._t5 = clip1, clip2, t5
+        self._lens = (int(clip1_len), int(clip2_len), int(t5_len))
+
+    @classmethod
+    def for_pretrained(
+        cls, first: str, second: str, t5_name: str,
+        clip1_len: int, clip2_len: int, t5_len: int,
+    ):
+        """Build from locally-cached HF checkpoints; None if any of the
+        three towers is unavailable (never hits the network)."""
+        from xdiffusion_tpu.layers.text_encoders import (
+            CLIPTextTransformer,
+            T5Encoder,
+            load_pretrained_clip_text,
+            load_pretrained_t5,
+        )
+
+        c1 = load_pretrained_clip_text(first, with_projection=True)
+        c2 = load_pretrained_clip_text(second, with_projection=True)
+        t5 = load_pretrained_t5(t5_name)
+        if c1 is None or c2 is None or t5 is None:
+            return None
+
+        def clip_tok(tok):
+            def fn(prompts, max_length):
+                import numpy as np
+
+                out = tok(
+                    list(prompts), padding="max_length",
+                    max_length=max_length, truncation=True, return_tensors="np",
+                )
+                return np.asarray(out["input_ids"], dtype=np.int32)
+
+            return fn
+
+        return cls(
+            (CLIPTextTransformer(c1[0]), c1[1], clip_tok(c1[2])),
+            (CLIPTextTransformer(c2[0]), c2[1], clip_tok(c2[2])),
+            (T5Encoder(t5[0]), t5[1], clip_tok(t5[2])),
+            clip1_len, clip2_len, t5_len,
+        )
+
+    def __call__(self, prompts: List[str]):
+        import numpy as np
+
+        l1, l2, lt = self._lens
+        outs = []
+        for (mod, params, tok), length in (
+            (self._clip1, l1), (self._clip2, l2)
+        ):
+            ids = tok(prompts, length)
+            seq, pooled = mod.apply(params, jnp.asarray(ids), penultimate=True)
+            outs.append((np.asarray(seq), np.asarray(pooled)))
+        t5_mod, t5_params, t5_tok = self._t5
+        t5_seq = np.asarray(
+            t5_mod.apply(t5_params, jnp.asarray(t5_tok(prompts, lt)))
+        )
+
+        clip_seq = np.concatenate([outs[0][0], outs[1][0]], axis=-1)
+        dc, dt = clip_seq.shape[-1], t5_seq.shape[-1]
+        if dt > dc:
+            clip_seq = np.pad(clip_seq, ((0, 0), (0, 0), (0, dt - dc)))
+        elif dc > dt:
+            t5_seq = np.pad(t5_seq, ((0, 0), (0, 0), (0, dc - dt)))
+        seq = np.concatenate([clip_seq, t5_seq], axis=-2)
+        pooled = np.concatenate([outs[0][1], outs[1][1]], axis=-1)
+        return seq.astype(np.float32), pooled.astype(np.float32)
+
+
 class SD3TextPromptsPreprocessor:
     """Host-side: prompts -> SD3 joint text conditioning
     (reference: context.py:258-344 runs CLIP-L + CLIP-bigG + T5 frozen
     encoders and concatenates their embeddings).
 
-    Offline fallback: with no pretrained encoders cached, emits
-    deterministic hash-seeded embeddings with the same contract —
-    context["text_embeddings"] (B, t5_max_length, joint_dim) and
-    context["pooled_text_embeddings"] (B, pooled_dim). Distinct prompts map
-    to distinct stable vectors, so conditional structure still trains.
+    When all three towers' weights are cached locally (or an
+    `encoders` SD3EncoderStack is injected), runs the real encoders.
+    Offline fallback: emits deterministic hash-seeded embeddings with the
+    same contract — context["text_embeddings"] (B, L, joint_dim) and
+    context["pooled_text_embeddings"] (B, pooled_dim). Distinct prompts
+    map to distinct stable vectors, so conditional structure still trains.
     """
 
     def __init__(
@@ -154,11 +240,42 @@ class SD3TextPromptsPreprocessor:
         t5_max_length: int = 128,
         joint_dim: int = 2048,
         pooled_dim: int = 2048,
+        encoders: "SD3EncoderStack | None" = None,
         **kwargs,
     ):
+        self.first_clip_model_name = first_clip_model_name
+        self.first_clip_max_length = int(first_clip_max_length)
+        self.second_clip_model_name = second_clip_model_name
+        self.second_clip_max_length = int(second_clip_max_length)
+        self.t5_model_name = t5_model_name
         self.t5_max_length = int(t5_max_length)
         self.joint_dim = int(joint_dim)
         self.pooled_dim = int(pooled_dim)
+        self._encoders = encoders
+        self._load_attempted = encoders is not None
+
+    def _encoder_stack(self):
+        if not self._load_attempted:
+            self._load_attempted = True
+            self._encoders = SD3EncoderStack.for_pretrained(
+                self.first_clip_model_name,
+                self.second_clip_model_name,
+                self.t5_model_name,
+                self.first_clip_max_length,
+                self.second_clip_max_length,
+                self.t5_max_length,
+            )
+            if self._encoders is None:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "SD3 text encoders not cached locally "
+                    "(%s / %s / %s); falling back to hash embeddings",
+                    self.first_clip_model_name,
+                    self.second_clip_model_name,
+                    self.t5_model_name,
+                )
+        return self._encoders
 
     def _embed(self, text: str, length: int, dim: int):
         import hashlib
@@ -178,12 +295,19 @@ class SD3TextPromptsPreprocessor:
         import numpy as np
 
         prompts = context["text_prompts"]
-        emb = np.stack(
-            [self._embed(t, self.t5_max_length, self.joint_dim) for t in prompts]
-        )
-        pooled = np.stack(
-            [self._embed(t, 1, self.pooled_dim)[0] for t in prompts]
-        )
+        stack = self._encoder_stack()
+        if stack is not None:
+            emb, pooled = stack(list(prompts))
+        else:
+            emb = np.stack(
+                [
+                    self._embed(t, self.t5_max_length, self.joint_dim)
+                    for t in prompts
+                ]
+            )
+            pooled = np.stack(
+                [self._embed(t, 1, self.pooled_dim)[0] for t in prompts]
+            )
         new_context = dict(context)
         new_context["text_embeddings"] = jnp.asarray(emb)
         new_context["pooled_text_embeddings"] = jnp.asarray(pooled)

@@ -314,6 +314,142 @@ def import_unet_params(
     return _apply_mapping(flax_params, sd, resolve, strict=strict)
 
 
+# -- UNet3D (reference score_networks/unet_3d.py:27) -------------------------
+
+def _conv3d_spatial(w: Array) -> Array:
+    """torch Conv3d with unit temporal extent (O, I, 1, kh, kw) -> flax 2D
+    per-frame Conv (kh, kw, I, O). The video UNet's convs are all (1,3,3)
+    or 1x1x1 (reference resnet_3d.py / unet_3d.py), i.e. exactly a 2D conv
+    run per frame — which is how our network executes them."""
+    assert w.shape[2] == 1, f"temporal extent {w.shape[2]} != 1"
+    return w[:, :, 0].transpose(2, 3, 1, 0)
+
+
+_BIGGAN3D_RES = {
+    "norm1": ("in_layers.0", None),
+    "conv1": ("in_layers.2", _conv3d_spatial),
+    "norm2": ("out_layers.0", None),
+    "conv2": ("out_layers.3", _conv3d_spatial),
+    "skip": ("skip_connection", _conv3d_spatial),
+}
+_DDPM3D_RES = {
+    "norm1": ("block1.0", None),
+    "conv1": ("block1.2", _conv3d_spatial),
+    "norm2": ("block2.0", None),
+    "conv2": ("block2.3", _conv3d_spatial),
+    "skip": ("residual_proj", _dense),
+}
+
+_EMB_MLP_RE = re.compile(r"^emb_mlp(\d+)_fc(\d)$")
+
+
+def import_unet3d_params(
+    flax_params: Dict,
+    sd: Dict[str, Array],
+    *,
+    heads: int = 8,
+    dim_head: int = 64,
+    strict: bool = True,
+) -> Dict:
+    """Import a reference video UNet state_dict (score_networks/
+    unet_3d.py:27) into our `score_networks.unet_3d.Unet` param tree.
+
+    Layout notes beyond the 2D importer: every torch conv is a Conv3d with
+    unit temporal extent -> per-frame 2D conv here; the emb projection is
+    an Mlp stack (`emb_layers.{i}.fc{1,2}` / `timestep_proj.{i}.fc{1,2}`);
+    temporal attention carries t2t relative-position embedding tables
+    (`_attention._{k,v}_embeddings_table`, reference attention.py:516-549).
+    """
+
+    def attn_heads(channels: int) -> int:
+        return heads if dim_head == -1 else channels // dim_head
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+
+        m = _PROJ_RE.match(top)
+        if m:
+            name = m.group(1)
+            base = f"_projections.{name}"
+            if path[1] == "fc1":
+                return (_leaf_name(f"{base}._projection.1", leaf), _dense)
+            if path[1] == "fc2":
+                return (_leaf_name(f"{base}._projection.3", leaf), _dense)
+            if path[1] in ("embed", "table"):
+                return (f"{base}.embedding_table.weight", _identity)
+        if top == "_label_projection":
+            return ("_label_projection.weight", _identity)
+        if top == "initial_conv":
+            return ("_initial_convolution.weight", _conv3d_spatial)
+        if top == "final_norm":
+            return (_leaf_name("final_projection.0", leaf), _identity)
+        if top == "final_conv":
+            return ("final_projection.2.weight", _conv3d_spatial)
+
+        m = _STAGE_RE.match(top) or _MIDDLE_RE.match(top)
+        if m is None:
+            return None
+        if m.re is _MIDDLE_RE:
+            base = f"middle.{m.group(1)}"
+            pyramid = "middle"
+        else:
+            pyramid, i, j = m.group(1), m.group(2), m.group(3)
+            base = f"{pyramid}.{i}.{j}"
+
+        child = path[1]
+        is_biggan = f"{base}.in_layers.0.weight" in sd
+        table = _BIGGAN3D_RES if is_biggan else _DDPM3D_RES
+        em = _EMB_MLP_RE.match(child)
+        if em:
+            stack = "emb_layers" if is_biggan else "timestep_proj"
+            torch_base = f"{base}.{stack}.{em.group(1)}.fc{em.group(2)}"
+            return (_leaf_name(torch_base, leaf), _dense)
+        if child in table:
+            suffix, tf = table[child]
+            if leaf in ("scale", "bias") and tf is None:
+                return (_leaf_name(f"{base}.{suffix}", leaf), _identity)
+            if leaf == "kernel":
+                return (f"{base}.{suffix}.weight", tf)
+            return (f"{base}.{suffix}.bias", _identity)
+        # Attention layers sit inside an EinopsToAndFrom wrapper in the
+        # torch tree (reference unet_3d.py:141-165 -> layers/utils.py:292),
+        # adding a ".fn" segment.
+        if child == "norm":
+            return (_leaf_name(f"{base}.fn._norm", leaf), _identity)
+        if child in ("qkv", "encoder_kv"):
+            parts = 3 if child == "qkv" else 2
+            torch_key = f"{base}.fn._{child}"
+
+            def tf(w, parts=parts):
+                out = w.shape[0]
+                c = out // parts
+                return _qkv_deinterleave(parts, attn_heads(c))(w)
+
+            return (_leaf_name(torch_key, leaf), tf)
+        if child == "proj_out":
+            if leaf == "kernel":
+                return (f"{base}.fn._proj_out.weight", _conv1d_dense)
+            return (f"{base}.fn._proj_out.bias", _identity)
+        if child in ("rel_k_embeddings", "rel_v_embeddings"):
+            which = "k" if child == "rel_k_embeddings" else "v"
+            return (
+                f"{base}.fn._attention._{which}_embeddings_table",
+                _identity,
+            )
+        if child == "context_norm":
+            return (
+                _leaf_name(f"{base}.fn._context_layer_norm", leaf), _identity
+            )
+        if child == "conv":
+            op = "op" if pyramid == "downs" else "conv"
+            if leaf == "kernel":
+                return (f"{base}.{op}.weight", _conv3d_spatial)
+            return (f"{base}.{op}.bias", _identity)
+        return None
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
 # -- DiT (reference score_networks/dit.py:77) --------------------------------
 
 _DIT_BLOCK_RE = re.compile(r"^_blocks_(\d+)$")
@@ -578,6 +714,16 @@ def import_score_network_params(
     """Import `sd` into `flax_params` for the score network named by
     `config.diffusion.score_network.target` (reference dotted path)."""
     target = config.diffusion.score_network.target
+    if target.endswith("unet_3d.Unet"):
+        cond = config.diffusion.score_network.params.conditioning
+        p = cond.spatial_context_transformer_layer.get("params", {})
+        return import_unet3d_params(
+            flax_params,
+            sd,
+            heads=int(p.get("heads", 8)),
+            dim_head=int(p.get("dim_head", 64)),
+            strict=strict,
+        )
     if target.endswith(".Unet") and "unet" in target:
         layer = config.diffusion.score_network.params.conditioning.context_transformer_layer
         p = layer.get("params", {})

@@ -127,9 +127,14 @@ class TemporalSelfAttention(nn.Module):
         groups = 32 if c % 32 == 0 else max(1, c // 4)
         from xdiffusion_tpu.layers.resnet import FastGroupNorm
 
-        hidden = FastGroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(x)
-        # Fold spatial into batch: (B*H*W, F, C).
-        hidden = hidden.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+        # Fold spatial into batch FIRST: the reference norms the already
+        # rearranged "(b h w) c f" tensor (unet_3d.py:157-165), so the
+        # GroupNorm statistics are per spatial position over
+        # (channel-group, frames) — not over the whole 5D map.
+        hidden = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+        hidden = FastGroupNorm(
+            num_groups=groups, dtype=self.dtype, name="norm"
+        )(hidden)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(hidden)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         to_heads = lambda t: t.reshape(
@@ -137,42 +142,59 @@ class TemporalSelfAttention(nn.Module):
         ).transpose(0, 2, 1, 3)
         q, k, v = to_heads(q), to_heads(k), to_heads(v)
 
-        # Learned relative-position bias over frame offsets. When the
-        # context carries explicit frame_indices (FDM-style arbitrary
-        # temporal positions, reference attention.py:910-1090), offsets are
-        # computed from those instead of the window position.
+        # tensor2tensor relative-position *embeddings* (reference
+        # QKVAttentionWithRelativePosition, attention.py:490-676): per-head
+        # (2M-1, head_dim) tables; logits gain q . rel_k[j - i]. The v
+        # table is allocated for checkpoint-shape fidelity but — like the
+        # reference, which calls the t2t kernel with
+        # add_relative_to_values=False — never used in the forward. Note
+        # the reference applies NO 1/sqrt(d) scaling in this kernel; we
+        # reproduce that exactly (imported weights were trained with it).
         max_rel = self.max_relative_position
-        bias_table = self.param(
-            "rel_pos_bias",
-            nn.initializers.normal(stddev=0.02),
-            (num_heads, 2 * max_rel - 1),
+        init = nn.initializers.normal(stddev=head_dim**-0.5)
+        rel_k = self.param(
+            "rel_k_embeddings", init, (num_heads, 2 * max_rel - 1, head_dim)
+        )
+        self.param(
+            "rel_v_embeddings", init, (num_heads, 2 * max_rel - 1, head_dim)
         )
         if context is not None and "frame_indices" in context:
+            # FDM-style arbitrary temporal positions (reference
+            # attention.py:910-1090): offsets from explicit frame indices.
             fi = context["frame_indices"][:, :f].astype(jnp.int32)  # (B, F)
             rel = jnp.clip(
-                fi[:, :, None] - fi[:, None, :], -(max_rel - 1), max_rel - 1
-            ) + (max_rel - 1)  # (B, F, F)
-            bias_b = bias_table[:, rel]  # (H, B, F, F)
-            bias_b = bias_b.transpose(1, 0, 2, 3)  # (B, H, F, F)
-            # Spatial positions fold into batch: repeat per location.
-            bias = jnp.repeat(bias_b, h * w, axis=0)
+                fi[:, None, :] - fi[:, :, None], -(max_rel - 1), max_rel - 1
+            ) + (max_rel - 1)  # (B, F, F) of j - i
+            rel = jnp.repeat(rel, h * w, axis=0)  # fold spatial into batch
+            rel_e = jnp.take(rel_k, rel, axis=1)  # (H, BHW, F, F, D)
+            rel_logits = jnp.einsum(
+                "bhqd,hbqkd->bhqk", q, rel_e,
+                preferred_element_type=jnp.float32,
+            )
         else:
             idx = jnp.arange(f)
             rel = jnp.clip(
-                idx[:, None] - idx[None, :], -(max_rel - 1), max_rel - 1
+                idx[None, :] - idx[:, None], -(max_rel - 1), max_rel - 1
+            ) + (max_rel - 1)  # (F, F) of j - i
+            rel_e = jnp.take(rel_k, rel, axis=1)  # (H, F, F, D)
+            rel_logits = jnp.einsum(
+                "bhqd,hqkd->bhqk", q, rel_e,
+                preferred_element_type=jnp.float32,
             )
-            rel = rel + (max_rel - 1)  # (F, F) in [0, 2*max_rel-2]
-            bias = bias_table[:, rel][None]  # (1, H, F, F)
 
-        scale = head_dim**-0.5
-        logits = (
-            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-            * scale
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         )
-        logits = logits + bias.astype(jnp.float32)
+        logits = logits + rel_logits
         weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b * h * w, f, c)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)  # (BHW, H, F, D)
+        # Reference quirk, reproduced intentionally: QKVAttentionWith-
+        # RelativePosition returns `a.reshape(B, -1, L)` on a (B, H, L, D)
+        # tensor WITHOUT permuting (reference attention.py:594), so frames
+        # and head-channels scramble before the output projection — the
+        # projection weights are trained against that layout, so imported
+        # checkpoints only reproduce with the same view.
+        out = out.reshape(b * h * w, c, f).transpose(0, 2, 1)
         out = nn.Dense(
             c, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="proj_out"
         )(out)

@@ -35,6 +35,12 @@ class FastGroupNorm(nn.Module):
     # reference checkpoints must normalize exactly as the weights were
     # trained (flax's own GroupNorm defaults to 1e-6).
     epsilon: float = 1e-5
+    # Video semantics: when > 1 the input's leading axis is a folded
+    # (batch * frames) and the GroupNorm statistics must span ALL frames
+    # of an example — the reference's 3D blocks normalize the 5D
+    # (B, C, F, H, W) map (reference layers/resnet_3d.py:148,196), so
+    # frames share stats even though our convs run frame-folded.
+    stat_frames: int = 1
     dtype: jnp.dtype = jnp.float32
     silu: bool = False
 
@@ -45,11 +51,36 @@ class FastGroupNorm(nn.Module):
         t_scale: Optional[jax.Array] = None,
         t_shift: Optional[jax.Array] = None,
     ) -> jax.Array:
-        from xdiffusion_tpu.ops.norm import group_norm, group_norm_scale_shift
+        from xdiffusion_tpu.ops.norm import (
+            _apply_affine,
+            group_norm,
+            group_norm_coefficients,
+            group_norm_scale_shift,
+        )
 
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if self.stat_frames > 1:
+            # Statistics over the UNFOLDED (B, F, ..., C) view so all of
+            # an example's frames share mean/var; the affine (+ optional
+            # per-frame scale-shift conditioning) applies on the folded
+            # tensor, so no data movement on the big array.
+            f = self.stat_frames
+            bf = x.shape[0]
+            xu = x.reshape(bf // f, f, *x.shape[1:])
+            a, off = group_norm_coefficients(
+                xu, scale, bias, self.num_groups, self.epsilon
+            )  # (B, C)
+            a = jnp.repeat(a, f, axis=0)  # (BF, C)
+            off = jnp.repeat(off, f, axis=0)
+            if t_scale is not None:
+                ts = t_scale.reshape(bf, -1).astype(jnp.float32)
+                tsh = t_shift.reshape(bf, -1).astype(jnp.float32)
+                a, off = a * (1.0 + ts), off * (1.0 + ts) + tsh
+            return _apply_affine(x, a, off, self.silu)
+
         if t_scale is not None:
             return group_norm_scale_shift(
                 x, scale, bias, self.num_groups, t_scale, t_shift,
@@ -60,11 +91,16 @@ class FastGroupNorm(nn.Module):
         )
 
 
-def _group_norm(c: int, name: str, dtype, silu: bool = False) -> FastGroupNorm:
+def _group_norm(
+    c: int, name: str, dtype, silu: bool = False, stat_frames: int = 1
+) -> FastGroupNorm:
     # GroupNorm(32) like the reference, but degrade gracefully for thin
     # channels (tests / tiny configs).
     groups = 32 if c % 32 == 0 else max(1, c // 4)
-    return FastGroupNorm(num_groups=groups, name=name, dtype=dtype, silu=silu)
+    return FastGroupNorm(
+        num_groups=groups, name=name, dtype=dtype, silu=silu,
+        stat_frames=stat_frames,
+    )
 
 
 class FusedGroupNormSiLU(nn.Module):
@@ -86,11 +122,11 @@ class FusedGroupNormSiLU(nn.Module):
         ).astype(self.dtype)
 
 
-def _norm_silu(x, c: int, name: str, dtype):
+def _norm_silu(x, c: int, name: str, dtype, stat_frames: int = 1):
     """silu(groupnorm(x)) in one fused pass."""
-    if _FUSED_NORM:
+    if _FUSED_NORM and stat_frames == 1:
         return FusedGroupNormSiLU(channels=c, dtype=dtype, name=name)(x)
-    return _group_norm(c, name, dtype, silu=True)(x)
+    return _group_norm(c, name, dtype, silu=True, stat_frames=stat_frames)(x)
 
 
 def nearest_upsample_2x(x: jax.Array) -> jax.Array:
@@ -136,6 +172,18 @@ class Upsample(nn.Module):
         return x
 
 
+def _emb_mlp_stack(emb, emb_dim: int, layers: int, dtype):
+    """Stack of `layers` Mlps (fc1 -> SiLU -> fc2) over the raw embedding
+    — the video-UNet conditioning path (reference layers/resnet_3d.py:
+    172-193 with layers/mlp.py Mlp, hidden = in_features)."""
+    e = emb
+    for i in range(layers):
+        hidden = e.shape[-1]
+        e = nn.Dense(hidden, dtype=dtype, name=f"emb_mlp{i}_fc1")(e)
+        e = nn.Dense(emb_dim, dtype=dtype, name=f"emb_mlp{i}_fc2")(nn.silu(e))
+    return e
+
+
 class ResnetBlockBigGAN(nn.Module):
     """BigGAN-style residual block with optional built-in up/downsampling.
 
@@ -149,6 +197,16 @@ class ResnetBlockBigGAN(nn.Module):
     up: bool = False
     down: bool = False
     dropout: float = 0.0
+    # Video-UNet conditioning contract ("Video Diffusion Models" found
+    # multiple MLP layers helped; reference layers/resnet_3d.py:172-193):
+    # when > 0 the emb projection is a stack of this many
+    # fc1->SiLU->fc2 Mlps applied to the RAW embedding (no leading SiLU),
+    # each fc1 keeping its input width. 0 keeps the image-UNet
+    # SiLU->Linear contract.
+    emb_mlp_layers: int = 0
+    # Video semantics: frames folded into the batch axis share GroupNorm
+    # statistics (see FastGroupNorm.stat_frames). 1 = image behavior.
+    stat_frames: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -156,7 +214,9 @@ class ResnetBlockBigGAN(nn.Module):
         self, x: jax.Array, context: Dict, deterministic: bool = True
     ) -> jax.Array:
         dim_in = x.shape[-1]
-        h = _norm_silu(x, dim_in, "norm1", self.dtype)
+        h = _norm_silu(
+            x, dim_in, "norm1", self.dtype, stat_frames=self.stat_frames
+        )
         if self.up:
             h = nearest_upsample_2x(h)
             x = nearest_upsample_2x(x)
@@ -169,10 +229,20 @@ class ResnetBlockBigGAN(nn.Module):
         if "class_embedding" in context:
             emb = emb + context["class_embedding"]
         emb_dim = 2 * self.dim_out if self.use_scale_shift_norm else self.dim_out
-        emb_out = nn.Dense(emb_dim, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
+        if self.emb_mlp_layers > 0:
+            emb_out = _emb_mlp_stack(
+                emb, emb_dim, self.emb_mlp_layers, self.dtype
+            )
+        else:
+            emb_out = nn.Dense(emb_dim, dtype=self.dtype, name="emb_proj")(
+                nn.silu(emb)
+            )
         emb_out = emb_out[:, None, None, :]
 
-        norm2 = _group_norm(self.dim_out, "norm2", self.dtype, silu=True)
+        norm2 = _group_norm(
+            self.dim_out, "norm2", self.dtype, silu=True,
+            stat_frames=self.stat_frames,
+        )
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = norm2(h, t_scale=scale, t_shift=shift)
@@ -202,6 +272,9 @@ class ResnetBlockDDPM(nn.Module):
     dim_out: int
     use_scale_shift_norm: bool = False
     dropout: float = 0.0
+    # See ResnetBlockBigGAN.emb_mlp_layers / stat_frames.
+    emb_mlp_layers: int = 0
+    stat_frames: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -209,17 +282,30 @@ class ResnetBlockDDPM(nn.Module):
         self, x: jax.Array, context: Dict, deterministic: bool = True
     ) -> jax.Array:
         dim_in = x.shape[-1]
-        h = _group_norm(dim_in, "norm1", self.dtype, silu=True)(x)
+        h = _group_norm(
+            dim_in, "norm1", self.dtype, silu=True,
+            stat_frames=self.stat_frames,
+        )(x)
         h = nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="conv1")(h)
 
         emb = context["timestep_embedding"]
         if "class_embedding" in context:
             emb = emb + context["class_embedding"]
         emb_dim = 2 * self.dim_out if self.use_scale_shift_norm else self.dim_out
-        emb_out = nn.Dense(emb_dim, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
+        if self.emb_mlp_layers > 0:
+            emb_out = _emb_mlp_stack(
+                emb, emb_dim, self.emb_mlp_layers, self.dtype
+            )
+        else:
+            emb_out = nn.Dense(emb_dim, dtype=self.dtype, name="emb_proj")(
+                nn.silu(emb)
+            )
         emb_out = emb_out[:, None, None, :]
 
-        norm2 = _group_norm(self.dim_out, "norm2", self.dtype, silu=True)
+        norm2 = _group_norm(
+            self.dim_out, "norm2", self.dtype, silu=True,
+            stat_frames=self.stat_frames,
+        )
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = norm2(h, t_scale=scale, t_shift=shift)

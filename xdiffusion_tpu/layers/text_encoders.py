@@ -109,7 +109,10 @@ class CLIPTextTransformer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, input_ids: jax.Array, attention_mask: Optional[jax.Array] = None
+        self,
+        input_ids: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        penultimate: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         c = self.config
         b, n = input_ids.shape
@@ -127,7 +130,13 @@ class CLIPTextTransformer(nn.Module):
             pad = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -jnp.inf)
             mask = mask + pad.astype(jnp.float32)
 
+        penult = x
         for i in range(c.num_hidden_layers):
+            if i == c.num_hidden_layers - 1:
+                # HF hidden_states[-2]: the input to the final layer,
+                # pre-final-LN — SD3's sequence conditioning tap
+                # (reference context.py:389-391).
+                penult = x
             x = _CLIPLayer(c, name=f"layers_{i}")(x, mask)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="final_layer_norm")(x)
 
@@ -142,7 +151,7 @@ class CLIPTextTransformer(nn.Module):
             pooled = nn.Dense(
                 c.projection_dim, use_bias=False, name="text_projection"
             )(pooled)
-        return x, pooled
+        return (penult if penultimate else x), pooled
 
 
 def import_hf_clip_text(flax_params: Dict, sd: Dict[str, np.ndarray]) -> Dict:
@@ -386,16 +395,26 @@ def _data_dir() -> Optional[str]:
     return os.environ.get("XDIFFUSION_DATA_DIR")
 
 
-def load_pretrained_clip_text(version: str):
+def load_pretrained_clip_text(version: str, with_projection: bool = False):
     """Try to materialize a pretrained CLIP text tower.
 
     Returns (config, params, tokenizer) or None when no weights are
-    cached locally. Never hits the network.
+    cached locally. Never hits the network. `with_projection` loads
+    CLIPTextModelWithProjection semantics (pooled -> text_embeds), the
+    flavor SD3's triple-encoder conditioning uses
+    (reference context.py:273-279).
     """
     try:
         from transformers import AutoTokenizer, CLIPTextModel
 
-        hf = CLIPTextModel.from_pretrained(version, local_files_only=True)
+        if with_projection:
+            from transformers import CLIPTextModelWithProjection
+
+            hf = CLIPTextModelWithProjection.from_pretrained(
+                version, local_files_only=True
+            )
+        else:
+            hf = CLIPTextModel.from_pretrained(version, local_files_only=True)
         tok = AutoTokenizer.from_pretrained(version, local_files_only=True)
     except Exception:
         return None
@@ -410,6 +429,7 @@ def load_pretrained_clip_text(version: str):
         layer_norm_eps=hc.layer_norm_eps,
         hidden_act=hc.hidden_act,
         eos_token_id=hc.eos_token_id,
+        projection_dim=hc.projection_dim if with_projection else None,
     )
     model = CLIPTextTransformer(cfg)
     params = model.init(

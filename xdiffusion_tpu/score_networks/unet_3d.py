@@ -114,6 +114,9 @@ class Unet(nn.Module):
         resamp_conv = bool(cfg.resamp_with_conv)
         updown = bool(cfg.resblock_updown)
         block_type = cfg.resnet_block_type if "resnet_block_type" in cfg else "biggan"
+        # Video blocks always condition through the Mlp stack (reference
+        # layers/resnet_3d.py defaults mlp_layers=1; VDM configs use 2).
+        mlp_layers = int(cfg.mlp_layers) if "mlp_layers" in cfg else 1
 
         def res_block(dim_out, **kw):
             if block_type == "biggan":
@@ -122,10 +125,16 @@ class Unet(nn.Module):
                     use_scale_shift_norm=use_ss,
                     use_conv=resamp_conv,
                     dropout=dropout,
+                    emb_mlp_layers=mlp_layers,
+                    stat_frames=self._num_frames,
                     **kw,
                 )
             return ResnetBlockDDPM(
-                dim_out=dim_out, use_scale_shift_norm=use_ss, dropout=dropout
+                dim_out=dim_out,
+                use_scale_shift_norm=use_ss,
+                dropout=dropout,
+                emb_mlp_layers=mlp_layers,
+                stat_frames=self._num_frames,
             )
 
         def attn_pair(ch):
@@ -190,6 +199,7 @@ class Unet(nn.Module):
         self._final_norm = FastGroupNorm(
             num_groups=32 if num_features % 32 == 0 else max(1, num_features // 4),
             silu=True,
+            stat_frames=self._num_frames,
             name="final_norm",
         )
         self._final_conv = nn.Conv(
