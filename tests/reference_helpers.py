@@ -53,11 +53,68 @@ def import_reference():
         tr.v2 = types.SimpleNamespace()
         _stub("torchvision.transforms.v2")
         tv.transforms = tr
+    _install_functional_xformers()
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
     import xdiffusion
 
     return xdiffusion
+
+
+def _install_functional_xformers():
+    """The reference's MultiHeadCrossAttention (layers/sora.py:378-411)
+    requires xformers.ops.memory_efficient_attention with a
+    BlockDiagonalMask; this box has no xformers, so give the stub a
+    numerically-exact torch implementation (per-sample softmax attention
+    over the packed sequence) so the reference Sora can run for parity
+    tests."""
+    ops = sys.modules.get("xformers.ops")
+    if ops is None or hasattr(ops, "memory_efficient_attention"):
+        return
+    parent = sys.modules.get("xformers")
+    if parent is not None:
+        parent.ops = ops
+    import torch
+
+    class _BlockDiagonalMask:
+        def __init__(self, q_seqlen, kv_seqlen):
+            self.q_seqlen = list(q_seqlen)
+            self.kv_seqlen = list(kv_seqlen)
+
+        @classmethod
+        def from_seqlens(cls, q_seqlen, kv_seqlen=None):
+            return cls(q_seqlen, kv_seqlen if kv_seqlen is not None else q_seqlen)
+
+    def memory_efficient_attention(q, k, v, p=0.0, attn_bias=None):
+        # q/k/v: (B, M, H, D); output matches q's layout.
+        assert p == 0.0 or not torch.is_grad_enabled()
+        scale = q.shape[-1] ** -0.5
+        if attn_bias is None:
+            qh, kh, vh = (t.permute(0, 2, 1, 3) for t in (q, k, v))
+            w = torch.softmax((qh @ kh.transpose(-2, -1)) * scale, dim=-1)
+            return (w @ vh).permute(0, 2, 1, 3)
+        assert q.shape[0] == 1, "packed layout expected with BlockDiagonalMask"
+        qo, ko, vo = q[0], k[0], v[0]
+        outs = []
+        qs = ks = 0
+        for ql, kl in zip(attn_bias.q_seqlen, attn_bias.kv_seqlen):
+            qi = qo[qs : qs + ql].permute(1, 0, 2)
+            ki = ko[ks : ks + kl].permute(1, 0, 2)
+            vi = vo[ks : ks + kl].permute(1, 0, 2)
+            w = torch.softmax((qi @ ki.transpose(-2, -1)) * scale, dim=-1)
+            outs.append((w @ vi).permute(1, 0, 2))
+            qs += ql
+            ks += kl
+        return torch.cat(outs, dim=0)[None]
+
+    ops.memory_efficient_attention = memory_efficient_attention
+    fmha = types.ModuleType("xformers.ops.fmha")
+    fmha.BlockDiagonalMask = _BlockDiagonalMask
+    fmha.__spec__ = importlib.machinery.ModuleSpec(
+        "xformers.ops.fmha", None, is_package=False
+    )
+    sys.modules["xformers.ops.fmha"] = fmha
+    ops.fmha = fmha
 
 
 def randomize_zero_init(sd, std=0.05, seed=0):

@@ -374,6 +374,77 @@ def test_unet3d_forward_matches_reference():
     np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
 
 
+def test_sora_stdit3_forward_matches_reference():
+    """Sora STDiT3 golden parity (reference score_networks/sora.py:182,
+    layers/sora.py) on the shipped sora.yaml: 3D patch embed, DiT
+    timestep features + shared t_block, CaptionEmbedder Mlp, paired
+    spatial/temporal blocks with qk RMS-norm + temporal rotary, packed
+    variable-length caption cross-attention, per-frame t/t0 modulation
+    select (video_mask), and the T2I final layer — identical imported
+    weights, identical outputs."""
+    import torch
+
+    config = "/root/reference/configs/video/moving_mnist/sora.yaml"
+    torch.manual_seed(0)
+    net, _ = _ref_net(config)
+    sd = randomize_zero_init(net.state_dict())
+    net.load_state_dict(sd)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.importers.torch_state_dict import import_sora_params
+    from xdiffusion_tpu.score_networks.sora import Sora
+
+    cfg = load_yaml(config)
+    ours = Sora(config=cfg.diffusion.score_network.params)
+
+    rng = np.random.default_rng(41)
+    x = rng.standard_normal((2, 1, 16, 32, 32), dtype=np.float32)  # BCFHW
+    t = np.array([0.31, 0.87], dtype=np.float32)
+    y = rng.standard_normal((2, 1, 77, 768), dtype=np.float32)
+    text_mask = np.zeros((2, 77), dtype=np.int64)
+    text_mask[0, :7] = 1
+    text_mask[1, :5] = 1
+    video_mask = np.ones((2, 16), dtype=bool)
+    video_mask[:, :4] = False  # first 4 frames conditioned (timestep 0)
+
+    with torch.no_grad():
+        ref_out = net(
+            torch.from_numpy(x),
+            {
+                "timestep": torch.from_numpy(t),
+                "text_embeddings": torch.from_numpy(y),
+                "text_attention_mask": torch.from_numpy(
+                    text_mask[:, None, None, :]
+                ),
+                "video_mask": torch.from_numpy(video_mask),
+            },
+        )
+    if isinstance(ref_out, (tuple, list)):
+        ref_out = ref_out[0]
+    ref_out = ref_out.numpy()
+
+    x_ours = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))  # BFHWC
+    ctx = {
+        "timestep": jnp.asarray(t),
+        "text_embeddings": jnp.asarray(y),
+        "text_attention_mask": jnp.asarray(text_mask.astype(np.int32)),
+        "video_mask": jnp.asarray(video_mask),
+    }
+    params = ours.init(jax.random.PRNGKey(0), x_ours, ctx)
+    params = import_sora_params(
+        params, {k: v.detach().numpy() for k, v in sd.items()}
+    )
+    with jax.default_matmul_precision("highest"):
+        our_out = ours.apply(params, x_ours, ctx)
+    if isinstance(our_out, (tuple, list)):
+        our_out = our_out[0]
+    our_out = np.transpose(np.asarray(our_out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
+
+
 def test_bpe_token_ids_match_reference():
     """Token-level compatibility: our shipped GPT-2 BPE assets + encoder
     must produce the exact ids the reference tokenizer does

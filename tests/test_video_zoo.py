@@ -503,16 +503,17 @@ def test_sora_stdit3_structure_and_x_mask():
         atol=1e-5,
     )
 
-    # All-False mask (every frame conditioned): timestep-invariant — every
-    # modulation runs through the t0 embedding.
+    # All-False mask (every frame conditioned): every BLOCK modulation
+    # runs through the t0 embedding, but exact timestep invariance does
+    # NOT hold — the reference T2IFinalLayer reassigns `x` before its
+    # zero branch (layers/sora.py:466-471), leaking the t-modulated
+    # tokens into conditioned frames; we reproduce that quirk for
+    # imported-weights parity. Assert the t0 path engages (differs from
+    # the unmasked forward) rather than invariance.
     ctx_f1 = dict(ctx)
     ctx_f1["video_mask"] = jnp.zeros((2, 4), dtype=bool)
-    ctx_f2 = dict(ctx_f1)
-    ctx_f2 = {**ctx_f1, "timestep": jnp.array([0.9, 0.05])}
-    np.testing.assert_allclose(
-        np.asarray(net.apply(params, x, ctx_f1)),
-        np.asarray(net.apply(params, x, ctx_f2)),
-        atol=1e-5,
+    assert not np.allclose(
+        np.asarray(net.apply(params, x, ctx_f1)), np.asarray(out_plain)
     )
 
     # Mixed mask actually differs from no-mask (t0 path engaged).

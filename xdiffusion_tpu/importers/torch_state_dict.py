@@ -705,6 +705,76 @@ def import_sd3_params(
     return _apply_mapping(flax_params, sd, resolve, strict=strict)
 
 
+# -- Sora STDiT3 (reference score_networks/sora.py:182) ----------------------
+
+_SORA_BLOCK_RE = re.compile(r"^(spatial|temporal)_(\d+)$")
+
+
+def import_sora_params(
+    flax_params: Dict, sd: Dict[str, Array], *, strict: bool = True
+) -> Dict:
+    """Import a reference Sora (OpenSora STDiT3) state_dict into our
+    `score_networks.sora.Sora` param tree.
+
+    PatchEmbed3D's Conv3d (kernel == stride == patch) becomes our Dense
+    over the flattened (c, pt, ph, pw) patch features; everything else is
+    Linear->Dense transposes plus the per-block scale_shift_table params.
+    The torch tree's rope.freqs / fps_embedder / y_embedding buffers have
+    no flax counterpart (we compute rope deterministically and don't ship
+    the fps conditioner) and are left unread.
+    """
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+        tf = _dense if leaf == "kernel" else _identity
+
+        if top == "x_embedder":
+            if leaf == "kernel":
+                return ("x_embedder.proj.weight",
+                        lambda w: w.reshape(w.shape[0], -1).T)
+            return ("x_embedder.proj.bias", _identity)
+        if top == "t_fc1":
+            return (_leaf_name("t_embedder.mlp.0", leaf), tf)
+        if top == "t_fc2":
+            return (_leaf_name("t_embedder.mlp.2", leaf), tf)
+        if top == "t_block":
+            return (_leaf_name("t_block.1", leaf), tf)
+        if top == "y_fc1":
+            return (_leaf_name("y_embedder.y_proj.fc1", leaf), tf)
+        if top == "y_fc2":
+            return (_leaf_name("y_embedder.y_proj.fc2", leaf), tf)
+        if top == "final_proj":
+            return (_leaf_name("final_layer.linear", leaf), tf)
+        if top == "final_scale_shift_table":
+            return ("final_layer.scale_shift_table", _identity)
+
+        m = _SORA_BLOCK_RE.match(top)
+        if m:
+            base = f"{m.group(1)}_blocks.{m.group(2)}"
+            child = path[1]
+            if child == "scale_shift_table":
+                return (f"{base}.scale_shift_table", _identity)
+            if child == "attn":
+                sub = path[2]
+                if sub in ("q_norm", "k_norm"):
+                    return (f"{base}.attn.{sub}.weight", _identity)
+                return (_leaf_name(f"{base}.attn.{sub}", leaf), tf)
+            if child == "cross_attn":
+                sub = path[2]
+                smap = {"q": "q_linear", "kv": "kv_linear", "proj": "proj"}
+                if sub in smap:
+                    return (
+                        _leaf_name(f"{base}.cross_attn.{smap[sub]}", leaf), tf
+                    )
+            if child == "mlp1":
+                return (_leaf_name(f"{base}.mlp.fc1", leaf), tf)
+            if child == "mlp2":
+                return (_leaf_name(f"{base}.mlp.fc2", leaf), tf)
+        return None
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
 # -- dispatch ----------------------------------------------------------------
 
 
@@ -740,6 +810,8 @@ def import_score_network_params(
         return import_pixart_params(flax_params, sd, strict=strict)
     if target.endswith(".SD3Transformer2DModel"):
         return import_sd3_params(flax_params, sd, strict=strict)
+    if target.endswith("sora.Sora"):
+        return import_sora_params(flax_params, sd, strict=strict)
     if target.endswith("Precond"):
         # EDM preconditioner wrappers hold the backbone under `.model`
         # (reference score_networks/edm.py:402-697).

@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from xdiffusion_tpu.layers.embedding import (
+    glide_timestep_embedding,
     sincos_position_embedding_2d,
-    sinusoidal_embedding,
 )
 from xdiffusion_tpu.layers.norm import RMSNorm
 from xdiffusion_tpu.ops import dot_product_attention
@@ -41,11 +41,35 @@ def _t2i_modulate(x, shift, scale):
     return x * (1.0 + scale) + shift
 
 
+def _rotary(t: jax.Array) -> jax.Array:
+    """lucidrains-style rotary embedding over the sequence axis of a
+    (B, H, N, D) tensor: interleaved pairs, freqs 1/10000^(2i/D)
+    (reference layers/rope.py:83-186, applied to temporal q/k after the
+    qk norm — score_networks/sora.py:260). Odd D rotates only the first
+    2*(D//2) dims and passes the tail through (apply_rotary_emb's
+    start/end-index split)."""
+    n, d = t.shape[-2], t.shape[-1]
+    half = d // 2
+    base = 1.0 / (
+        10000.0 ** (jnp.arange(0, d, 2, dtype=jnp.float32)[:half] / d)
+    )
+    f = jnp.arange(n, dtype=jnp.float32)[:, None] * base[None]  # (N, D//2)
+    cos = jnp.repeat(jnp.cos(f), 2, axis=-1)
+    sin = jnp.repeat(jnp.sin(f), 2, axis=-1)
+    head, tail = t[..., : 2 * half], t[..., 2 * half :]
+    x = head.reshape(*head.shape[:-1], half, 2)
+    rot = jnp.stack([-x[..., 1], x[..., 0]], axis=-1).reshape(head.shape)
+    out = head * cos + rot * sin
+    return jnp.concatenate([out, tail], axis=-1).astype(t.dtype)
+
+
 class STAttention(nn.Module):
-    """Self attention with optional qk RMS-norm."""
+    """Self attention with optional qk RMS-norm and rotary embedding
+    (temporal blocks rotate q/k over the frame axis)."""
 
     num_heads: int
     qk_norm: bool = True
+    rope: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -59,6 +83,9 @@ class STAttention(nn.Module):
         if self.qk_norm:
             q = RMSNorm(dim=hd, name="q_norm")(q)
             k = RMSNorm(dim=hd, name="k_norm")(k)
+        if self.rope:
+            q = _rotary(q)
+            k = _rotary(k)
         out = dot_product_attention(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         return nn.Dense(c, name="proj")(out)
@@ -114,6 +141,7 @@ class STDiTBlock(nn.Module):
     temporal: bool = False
     mlp_ratio: float = 4.0
     qk_norm: bool = True
+    rope: bool = False
 
     @nn.compact
     def __call__(
@@ -162,14 +190,16 @@ class STDiTBlock(nn.Module):
             # (B, F, N, D) -> (B*N, F, D): frames attend at each location.
             hm = hm.reshape(b, f, n, d).transpose(0, 2, 1, 3).reshape(b * n, f, d)
             hm = STAttention(
-                num_heads=self.num_heads, qk_norm=self.qk_norm, name="attn"
+                num_heads=self.num_heads, qk_norm=self.qk_norm,
+                rope=self.rope, name="attn",
             )(hm)
             hm = hm.reshape(b, n, f, d).transpose(0, 2, 1, 3).reshape(b, fn, d)
         else:
             # (B*F, N, D): spatial attention within each frame.
             hm = hm.reshape(b * f, n, d)
             hm = STAttention(
-                num_heads=self.num_heads, qk_norm=self.qk_norm, name="attn"
+                num_heads=self.num_heads, qk_norm=self.qk_norm,
+                rope=self.rope, name="attn",
             )(hm)
             hm = hm.reshape(b, fn, d)
         gated = g1 * hm
@@ -216,15 +246,30 @@ class Sora(nn.Module):
         self._grid = (size[0] // pt, size[1] // ph, size[2] // pw)
 
         self._x_embedder = nn.Dense(d, name="x_embedder")
+        # PositionEmbedding2D semantics (reference layers/sora.py:648-697
+        # driven by score_networks/sora.py:376-382): positions scaled by
+        # base_size/grid and divided by resolution_sq/input_sq_size.
+        import math as _math
+
+        res_sq = _math.sqrt(float(size[1]) * float(size[2]))
+        pos_scale = res_sq / float(cfg.get("input_sq_size", res_sq))
+        s_tokens = self._grid[1] * self._grid[2]
         self._pos_spatial = sincos_position_embedding_2d(
-            d, self._grid[1], self._grid[2]
+            d,
+            self._grid[1],
+            self._grid[2],
+            base_size=round(s_tokens**0.5),
+            lewei_scale=pos_scale,
         )
         self._t_fc1 = nn.Dense(d, name="t_fc1")
         self._t_fc2 = nn.Dense(d, name="t_fc2")
         # Shared 6D modulation projection (reference t_block); per-block
         # scale_shift_table params add to its output.
         self._t_block = nn.Dense(6 * d, name="t_block")
-        self._y_embedder = nn.Dense(d, name="y_embedder")
+        # CaptionEmbedder y_proj: fc1 -> tanh-gelu -> fc2 (reference
+        # layers/sora.py:600-645).
+        self._y_fc1 = nn.Dense(d, name="y_fc1")
+        self._y_fc2 = nn.Dense(d, name="y_fc2")
 
         # `depth` PAIRS of (spatial, temporal) blocks (reference builds
         # spatial_blocks and temporal_blocks each of length depth).
@@ -246,6 +291,7 @@ class Sora(nn.Module):
                         temporal=True,
                         mlp_ratio=float(cfg.mlp_ratio),
                         qk_norm=bool(cfg.get("qk_norm", True)),
+                        rope=True,
                         name=f"temporal_{i}",
                     ),
                 )
@@ -267,8 +313,10 @@ class Sora(nn.Module):
         )
 
     def _temb(self, timestep: jax.Array) -> jax.Array:
+        # DiT TimestepEmbedder features: cos-first, `half` freq divisor,
+        # raw (unscaled) timesteps (reference layers/sora.py:496-520).
         return self._t_fc2(
-            nn.silu(self._t_fc1(sinusoidal_embedding(timestep, 256, max_time=1.0)))
+            nn.silu(self._t_fc1(glide_timestep_embedding(timestep, 256)))
         )
 
     def __call__(
@@ -291,7 +339,10 @@ class Sora(nn.Module):
         timestep = context["timestep"].astype(jnp.float32)
         temb = self._temb(timestep)
         t6 = self._t_block(nn.silu(temb))
-        y = self._y_embedder(context["text_embeddings"])
+        y = context["text_embeddings"]
+        if y.ndim == 4:  # reference layout (B, 1, L, C)
+            y = y[:, 0]
+        y = self._y_fc2(nn.gelu(self._y_fc1(y), approximate=True))
         text_mask = context.get("text_attention_mask")
 
         # Temporal conditioning mask: True = generate. Only meaningful when
@@ -333,7 +384,11 @@ class Sora(nn.Module):
         out_tokens = _t2i_modulate(h, shift, scale)
         if frame_mask is not None and temb_zero is not None:
             z_shift, z_scale = final_mod(temb_zero)
-            alt = _t2i_modulate(h, z_shift, z_scale)
+            # Reference quirk, reproduced intentionally: T2IFinalLayer
+            # reassigns `x` before computing the zero branch (reference
+            # layers/sora.py:466-471), so the t0 modulation applies to the
+            # re-NORMED already-t-modulated tokens, not the raw hidden.
+            alt = _t2i_modulate(self._final_norm(out_tokens), z_shift, z_scale)
             sel = frame_mask[:, :, None, None].astype(bool)
             n_sp = gh * gw
             out_tokens = jnp.where(
