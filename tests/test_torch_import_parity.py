@@ -445,6 +445,196 @@ def test_sora_stdit3_forward_matches_reference():
     np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
 
 
+def test_ltx_video_transformer_forward_matches_reference():
+    """LTX-Video transformer golden parity (reference score_networks/
+    ltx_video.py:56-468, layers/ltx.py) on the shipped ltx_video.yaml:
+    fractional-position exp-spaced RoPE applied pre-head-split, learned
+    full-width qk RMSNorm, RMS standardization norms, raw-residual
+    cross attention with caption masking, adaLN-single — identical
+    imported weights, identical outputs."""
+    import torch
+
+    config = (
+        "/root/reference/configs/video/moving_mnist/ltx_video/ltx_video.yaml"
+    )
+    torch.manual_seed(0)
+    net, _ = _ref_net(config)
+    sd = randomize_zero_init(net.state_dict())
+    net.load_state_dict(sd)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.importers.torch_state_dict import import_ltx_video_params
+    from xdiffusion_tpu.score_networks.ltx_video import LTXVideoTransformer
+
+    cfg = load_yaml(config)
+    ours = LTXVideoTransformer(config=cfg.diffusion.score_network.params)
+
+    rng = np.random.default_rng(43)
+    x = rng.standard_normal((2, 128, 3, 4, 4), dtype=np.float32)  # BCFHW latents
+    t = np.array([0.22, 0.91], dtype=np.float32)
+    y = rng.standard_normal((2, 11, 768), dtype=np.float32)
+    text_mask = np.zeros((2, 11), dtype=np.int64)
+    text_mask[0, :7] = 1
+    text_mask[1, :4] = 1
+
+    with torch.no_grad():
+        ref_out = net(
+            torch.from_numpy(x),
+            {
+                "timestep": torch.from_numpy(t),
+                "text_embeddings": torch.from_numpy(y),
+                "text_attention_mask": torch.from_numpy(text_mask),
+            },
+        )
+    if isinstance(ref_out, (tuple, list)):
+        ref_out = ref_out[0]
+    ref_out = ref_out.numpy()
+
+    x_ours = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))  # BFHWC
+    ctx = {
+        "timestep": jnp.asarray(t),
+        "text_embeddings": jnp.asarray(y),
+        "text_attention_mask": jnp.asarray(text_mask.astype(np.int32)),
+    }
+    params = ours.init(jax.random.PRNGKey(0), x_ours, ctx)
+    params = import_ltx_video_params(
+        params, {k: v.detach().numpy() for k, v in sd.items()}
+    )
+    with jax.default_matmul_precision("highest"):
+        our_out = ours.apply(params, x_ours, ctx)
+    if isinstance(our_out, (tuple, list)):
+        our_out = our_out[0]
+    our_out = np.transpose(np.asarray(our_out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
+
+    # Skip-layer guidance machinery (STG): a mask zeroing block 0's
+    # self-attention for sample 1 only changes sample 1.
+    mask = ours.create_skip_layer_mask([0], batch_size=1, num_conds=2, ptb_index=1)
+    assert mask.shape[1] == 2 and mask[0, 1] == 0.0 and mask[0, 0] == 1.0
+    ctx_skip = dict(ctx)
+    ctx_skip["skip_layer_mask"] = jnp.asarray(mask)
+    with jax.default_matmul_precision("highest"):
+        out_skip = ours.apply(params, x_ours, ctx_skip)
+    out_skip = np.transpose(np.asarray(out_skip), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(out_skip[0], our_out[0], atol=1e-5)
+    assert not np.allclose(out_skip[1], our_out[1])
+
+
+def test_hunyuan_video_transformer_forward_matches_reference():
+    """HunyuanVideo transformer golden parity (reference score_networks/
+    hunyuan_video.py:404-701, layers/hunyuan_video/*) on the shipped
+    hunyuan_video.yaml: SingleTokenRefiner text conditioning (timestep +
+    masked-mean pooled text adaLN gates, padding-aware attention),
+    double/single MM streams with per-head qk RMSNorm and 3-axis rope
+    over (t, h, w) latent positions, CLIP-pooled vector modulation —
+    identical imported weights, identical outputs."""
+    import torch
+
+    config = (
+        "/root/reference/configs/video/moving_mnist/hunyuan_video/"
+        "hunyuan_video.yaml"
+    )
+    torch.manual_seed(0)
+    net, _ = _ref_net(config)
+    sd = randomize_zero_init(net.state_dict())
+    net.load_state_dict(sd)
+
+    # get_cu_seqlens hardcodes device='cuda' (reference layers/
+    # hunyuan_video/attention.py:48) but only feeds asserts in the
+    # 'torch' attention mode — build it on CPU instead.
+    import xdiffusion.score_networks.hunyuan_video as ref_mod
+
+    def cpu_cu_seqlens(text_mask, img_len):
+        batch_size = text_mask.shape[0]
+        text_len = text_mask.sum(dim=1)
+        max_len = text_mask.shape[1] + img_len
+        cu = torch.zeros([2 * batch_size + 1], dtype=torch.int32)
+        for i in range(batch_size):
+            s = text_len[i] + img_len
+            cu[2 * i + 1] = i * max_len + s
+            cu[2 * i + 2] = (i + 1) * max_len
+        return cu
+
+    orig = ref_mod.get_cu_seqlens
+    ref_mod.get_cu_seqlens = cpu_cu_seqlens
+    try:
+        from xdiffusion.layers.hunyuan_video.rope import get_nd_rotary_pos_embed
+
+        import jax
+        import jax.numpy as jnp
+
+        from xdiffusion_tpu.config import load_yaml
+        from xdiffusion_tpu.importers.torch_state_dict import (
+            import_hunyuan_video_params,
+        )
+        from xdiffusion_tpu.score_networks.hunyuan_video import (
+            HYVideoDiffusionTransformer,
+        )
+
+        cfg = load_yaml(config)
+        ours = HYVideoDiffusionTransformer(
+            config=cfg.diffusion.score_network.params
+        )
+
+        rng = np.random.default_rng(47)
+        # latents (B, C, F, H, W); patch (1, 2, 2) -> grid (4, 4, 4)
+        x = rng.standard_normal((2, 16, 4, 8, 8), dtype=np.float32)
+        t = np.array([0.13, 0.77], dtype=np.float32)
+        llm = rng.standard_normal((2, 9, 4096), dtype=np.float32)
+        clip = rng.standard_normal((2, 768), dtype=np.float32)
+        text_mask = np.zeros((2, 9), dtype=np.int64)
+        text_mask[0, :6] = 1
+        text_mask[1, :3] = 1
+
+        # The reference takes rope tables via context (RopeFrequencies
+        # preprocessor); build them at the latent grid.
+        cos_t, sin_t = get_nd_rotary_pos_embed(
+            [16, 56, 56], [4, 4, 4], theta=256.0, use_real=True
+        )
+        with torch.no_grad():
+            ref_out = net(
+                torch.from_numpy(x),
+                {
+                    "timestep": torch.from_numpy(t),
+                    "hv_llm_embeddings": torch.from_numpy(llm),
+                    "hv_clip_embeddings": torch.from_numpy(clip),
+                    "hv_llm_embeddings_attention_mask": torch.from_numpy(
+                        text_mask
+                    ),
+                    "rope_frequencies_cos": cos_t,
+                    "rope_frequencies_sin": sin_t,
+                },
+            )
+        if isinstance(ref_out, (tuple, list)):
+            ref_out = ref_out[0]
+        ref_out = ref_out.numpy()
+    finally:
+        ref_mod.get_cu_seqlens = orig
+
+    x_ours = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))  # BFHWC
+    ctx = {
+        "timestep": jnp.asarray(t),
+        "hv_llm_embeddings": jnp.asarray(llm),
+        "hv_clip_embeddings": jnp.asarray(clip),
+        "hv_llm_embeddings_attention_mask": jnp.asarray(
+            text_mask.astype(np.int32)
+        ),
+    }
+    params = ours.init(jax.random.PRNGKey(0), x_ours, ctx)
+    params = import_hunyuan_video_params(
+        params, {k: v.detach().numpy() for k, v in sd.items()}
+    )
+    with jax.default_matmul_precision("highest"):
+        our_out = ours.apply(params, x_ours, ctx)
+    if isinstance(our_out, (tuple, list)):
+        our_out = our_out[0]
+    our_out = np.transpose(np.asarray(our_out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
+
+
 def test_bpe_token_ids_match_reference():
     """Token-level compatibility: our shipped GPT-2 BPE assets + encoder
     must produce the exact ids the reference tokenizer does

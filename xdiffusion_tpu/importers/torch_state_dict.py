@@ -775,6 +775,175 @@ def import_sora_params(
     return _apply_mapping(flax_params, sd, resolve, strict=strict)
 
 
+# -- LTX-Video (reference score_networks/ltx_video.py:56) --------------------
+
+_LTX_BLOCK_RE = re.compile(r"^block_(\d+)$")
+
+
+def import_ltx_video_params(
+    flax_params: Dict, sd: Dict[str, Array], *, strict: bool = True
+) -> Dict:
+    """Import a reference LTXVideoTransformer state_dict into our
+    `score_networks.ltx_video.LTXVideoTransformer` param tree. Separate
+    to_q/to_k/to_v (and cross to_k/to_v) Linears concatenate into our
+    fused Dense kernels; qk RMSNorm weights map 1:1."""
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+        tf = _dense if leaf == "kernel" else _identity
+
+        tops = {
+            "proj_in": "patchify_proj",
+            "t_fc1": "adaln_single.emb.timestep_embedder.linear_1",
+            "t_fc2": "adaln_single.emb.timestep_embedder.linear_2",
+            "t_block": "adaln_single.linear",
+            "caption_fc1": "caption_projection.linear_1",
+            "caption_fc2": "caption_projection.linear_2",
+            "proj_out": "proj_out",
+        }
+        if top in tops:
+            return (_leaf_name(tops[top], leaf), tf)
+        if top == "scale_shift_table":
+            return ("scale_shift_table", _identity)
+
+        m = _LTX_BLOCK_RE.match(top)
+        if m:
+            base = f"transformer_blocks.{m.group(1)}"
+            child = path[1]
+            if child == "scale_shift_table":
+                return (f"{base}.scale_shift_table", _identity)
+            if child == "qkv":
+                keys = [f"{base}.attn1.to_q", f"{base}.attn1.to_k",
+                        f"{base}.attn1.to_v"]
+                return (MULTI, _concat_dense(keys, bias=leaf == "bias"))
+            if child == "cross_kv":
+                keys = [f"{base}.attn2.to_k", f"{base}.attn2.to_v"]
+                return (MULTI, _concat_dense(keys, bias=leaf == "bias"))
+            sub = {
+                "q_norm": (f"{base}.attn1.q_norm.weight", _identity),
+                "k_norm": (f"{base}.attn1.k_norm.weight", _identity),
+                "cross_q_norm": (f"{base}.attn2.q_norm.weight", _identity),
+                "cross_k_norm": (f"{base}.attn2.k_norm.weight", _identity),
+            }
+            if child in sub:
+                return sub[child]
+            lin = {
+                "attn_proj": f"{base}.attn1.to_out.0",
+                "cross_q": f"{base}.attn2.to_q",
+                "cross_proj": f"{base}.attn2.to_out.0",
+                "ff1": f"{base}.ff.net.0.proj",
+                "ff2": f"{base}.ff.net.2",
+            }
+            if child in lin:
+                return (_leaf_name(lin[child], leaf), tf)
+        return None
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
+# -- HunyuanVideo (reference score_networks/hunyuan_video.py:404) ------------
+
+_HY_DOUBLE_RE = re.compile(r"^double_(\d+)$")
+_HY_SINGLE_RE = re.compile(r"^single_(\d+)$")
+_HY_REFINER_IDX_RE = re.compile(r"^(adaLN|norm1|qkv|proj|norm2|mlp1|mlp2)_(\d+)$")
+
+
+def import_hunyuan_video_params(
+    flax_params: Dict, sd: Dict[str, Array], *, strict: bool = True
+) -> Dict:
+    """Import a reference HYVideoDiffusionTransformer state_dict into our
+    `score_networks.hunyuan_video.HYVideoDiffusionTransformer` tree —
+    covering the SingleTokenRefiner, MM double/single stream blocks
+    (which our implementation shares with Flux), and the final layer."""
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+        tf = _dense if leaf == "kernel" else _identity
+
+        if top == "img_in":
+            if leaf == "kernel":
+                return ("img_in.proj.weight",
+                        lambda w: w.reshape(w.shape[0], -1).T)
+            return ("img_in.proj.bias", _identity)
+        if top == "time_in":
+            sub = {"in_layer": "time_in.mlp.0", "out_layer": "time_in.mlp.2"}
+            return (_leaf_name(sub[path[1]], leaf), tf)
+        if top == "vector_in":
+            sub = {"in_layer": "vector_in.in_layer",
+                   "out_layer": "vector_in.out_layer"}
+            return (_leaf_name(sub[path[1]], leaf), tf)
+        if top == "txt_refiner":
+            child = path[1]
+            fixed = {
+                "t_fc1": "txt_in.t_embedder.mlp.0",
+                "t_fc2": "txt_in.t_embedder.mlp.2",
+                "c_fc1": "txt_in.c_embedder.linear_1",
+                "c_fc2": "txt_in.c_embedder.linear_2",
+                "input_embedder": "txt_in.input_embedder",
+            }
+            if child in fixed:
+                return (_leaf_name(fixed[child], leaf), tf)
+            m = _HY_REFINER_IDX_RE.match(child)
+            if m:
+                kind, i = m.group(1), m.group(2)
+                base = f"txt_in.individual_token_refiner.blocks.{i}"
+                kmap = {
+                    "adaLN": f"{base}.adaLN_modulation.1",
+                    "norm1": f"{base}.norm1",
+                    "qkv": f"{base}.self_attn_qkv",
+                    "proj": f"{base}.self_attn_proj",
+                    "norm2": f"{base}.norm2",
+                    "mlp1": f"{base}.mlp.fc1",
+                    "mlp2": f"{base}.mlp.fc2",
+                }
+                return (_leaf_name(kmap[kind], leaf), tf)
+        if top == "final":
+            if path[1] == "mod":
+                return (_leaf_name("final_layer.adaLN_modulation.1", leaf), tf)
+            if path[1] == "proj":
+                return (_leaf_name("final_layer.linear", leaf), tf)
+
+        m = _HY_DOUBLE_RE.match(top)
+        if m:
+            base = f"double_blocks.{m.group(1)}"
+            child = path[1]
+            if child in ("img_mod", "txt_mod"):
+                return (_leaf_name(f"{base}.{child}.linear", leaf), tf)
+            norms = {
+                "img_q_norm": f"{base}.img_attn_q_norm.weight",
+                "img_k_norm": f"{base}.img_attn_k_norm.weight",
+                "txt_q_norm": f"{base}.txt_attn_q_norm.weight",
+                "txt_k_norm": f"{base}.txt_attn_k_norm.weight",
+            }
+            if child in norms:
+                return (norms[child], _identity)
+            lin = {
+                "img_qkv": f"{base}.img_attn_qkv",
+                "img_proj": f"{base}.img_attn_proj",
+                "img_mlp1": f"{base}.img_mlp.fc1",
+                "img_mlp2": f"{base}.img_mlp.fc2",
+                "txt_qkv": f"{base}.txt_attn_qkv",
+                "txt_proj": f"{base}.txt_attn_proj",
+                "txt_mlp1": f"{base}.txt_mlp.fc1",
+                "txt_mlp2": f"{base}.txt_mlp.fc2",
+            }
+            if child in lin:
+                return (_leaf_name(lin[child], leaf), tf)
+        m = _HY_SINGLE_RE.match(top)
+        if m:
+            base = f"single_blocks.{m.group(1)}"
+            child = path[1]
+            if child == "modulation":
+                return (_leaf_name(f"{base}.modulation.linear", leaf), tf)
+            if child in ("q_norm", "k_norm"):
+                return (f"{base}.{child}.weight", _identity)
+            if child in ("linear1", "linear2"):
+                return (_leaf_name(f"{base}.{child}", leaf), tf)
+        return None
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
 # -- dispatch ----------------------------------------------------------------
 
 
@@ -812,6 +981,10 @@ def import_score_network_params(
         return import_sd3_params(flax_params, sd, strict=strict)
     if target.endswith("sora.Sora"):
         return import_sora_params(flax_params, sd, strict=strict)
+    if target.endswith(".LTXVideoTransformer"):
+        return import_ltx_video_params(flax_params, sd, strict=strict)
+    if target.endswith(".HYVideoDiffusionTransformer"):
+        return import_hunyuan_video_params(flax_params, sd, strict=strict)
     if target.endswith("Precond"):
         # EDM preconditioner wrappers hold the backbone under `.model`
         # (reference score_networks/edm.py:402-697).
