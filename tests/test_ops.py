@@ -214,7 +214,9 @@ def test_fast_group_norm_matches_flax():
         bi = jax.random.normal(jax.random.fold_in(key, 2), (64,))
         p = {"params": {"scale": sc, "bias": bi}}
         got = FastGroupNorm(num_groups=32).apply(p, x)
-        want = nn.GroupNorm(num_groups=32).apply(p, x)
+        # FastGroupNorm defaults to the torch eps (1e-5) for imported-
+        # checkpoint fidelity; pin flax's GroupNorm to the same.
+        want = nn.GroupNorm(num_groups=32, epsilon=1e-5).apply(p, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
         got_silu = FastGroupNorm(num_groups=32, silu=True).apply(p, x)

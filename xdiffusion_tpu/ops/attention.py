@@ -16,11 +16,56 @@ Replaces the reference's reliance on torch SDPA / hand-rolled QKVAttention
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Sequence parallelism: when a mesh with a 'sequence' axis is registered
+# (trainer knob XDIFFUSION_MESH="data=2,sequence=4", or the
+# `sequence_parallel` context in tests), self-attention calls route
+# through the ring-attention shard_map (ops/ring_attention.py) so the
+# token axis is sharded across devices and k/v shards ride the ICI ring.
+# ---------------------------------------------------------------------------
+
+_SEQ_CTX = {"mesh": None, "axis": "sequence"}
+
+
+def set_sequence_parallel_mesh(mesh, axis_name: str = "sequence") -> None:
+    """Register (or clear, with None) the process-wide sequence-parallel
+    mesh. Trainers call this once after building their mesh."""
+    _SEQ_CTX["mesh"] = mesh
+    _SEQ_CTX["axis"] = axis_name
+
+
+@contextlib.contextmanager
+def sequence_parallel(mesh, axis_name: str = "sequence"):
+    prev = dict(_SEQ_CTX)
+    set_sequence_parallel_mesh(mesh, axis_name)
+    try:
+        yield
+    finally:
+        _SEQ_CTX.update(prev)
+
+
+def _seq_parallel_mesh(b: int, sq: int, sk: int, is_causal: bool):
+    """The registered mesh, when this call site can ring: non-causal
+    SELF-attention (q/k same length) with token and batch axes divisible
+    by the mesh axes."""
+    mesh = _SEQ_CTX["mesh"]
+    if mesh is None or is_causal:
+        return None
+    axis = _SEQ_CTX["axis"]
+    if mesh.shape.get(axis, 1) <= 1:
+        return None
+    if sq != sk or sq % mesh.shape[axis] != 0:
+        return None
+    if b % mesh.shape.get("data", 1) != 0:
+        return None
+    return mesh
 
 
 def _xla_attention(
@@ -101,6 +146,19 @@ def attention_qkv(
     scale = d**-0.5
     import os
 
+    mesh = _seq_parallel_mesh(b, sq, sk, is_causal)
+    if mesh is not None:
+        from xdiffusion_tpu.ops.ring_attention import (
+            sequence_parallel_attention,
+        )
+
+        qh = q.reshape(b, sq, heads, d).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, sk, heads, d).transpose(0, 2, 1, 3)
+        out = sequence_parallel_attention(
+            qh, kh, vh, mesh, axis_name=_SEQ_CTX["axis"], scale=scale
+        )
+        return out.transpose(0, 2, 1, 3).reshape(b, sq, c)
     if (
         not is_causal
         and jax.default_backend() == "tpu"
@@ -142,6 +200,15 @@ def dot_product_attention(
     """Scaled dot-product attention over (B, H, S, D) tensors."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    mesh = _seq_parallel_mesh(q.shape[0], q.shape[-2], k.shape[-2], is_causal)
+    if mesh is not None and not force_xla:
+        from xdiffusion_tpu.ops.ring_attention import (
+            sequence_parallel_attention,
+        )
+
+        return sequence_parallel_attention(
+            q, k, v, mesh, axis_name=_SEQ_CTX["axis"], scale=scale
+        )
     if not force_xla and _flash_eligible(q, k) and not is_causal:
         from xdiffusion_tpu.ops.flash_attention import flash_attention
 

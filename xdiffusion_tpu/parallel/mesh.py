@@ -26,7 +26,17 @@ def make_mesh(
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if shape is None:
-        shape = (n,) + (1,) * (len(axis_names) - 1)
+        import os
+
+        env = os.environ.get("XDIFFUSION_MESH")
+        if env:
+            # "data=2,sequence=4" / "data=4,fsdp=2" — names and sizes of
+            # every mesh axis, product must equal the device count.
+            pairs = [p.split("=") for p in env.split(",") if p]
+            axis_names = tuple(name for name, _ in pairs)
+            shape = tuple(int(size) for _, size in pairs)
+        else:
+            shape = (n,) + (1,) * (len(axis_names) - 1)
     assert len(shape) == len(axis_names), (shape, axis_names)
     assert int(np.prod(shape)) == n, f"mesh {shape} != {n} devices"
     dev_array = np.asarray(devices).reshape(shape)

@@ -94,6 +94,15 @@ def train(
 
     maybe_initialize_distributed()
     mesh = make_mesh()
+    if mesh.shape.get("sequence", 1) > 1:
+        # Sequence parallelism (XDIFFUSION_MESH="data=N,sequence=M"):
+        # register the mesh so self-attention routes through the
+        # ring-attention shard_map (ops/attention.py).
+        from xdiffusion_tpu.ops.attention import (
+            set_sequence_parallel_mesh,
+        )
+
+        set_sequence_parallel_mesh(mesh)
     host_batch_size = local_batch_size(batch_size)
     dataset, convert_labels_to_prompts = load_dataset(
         dataset_name, config=config, split="train"
