@@ -1,0 +1,139 @@
+"""Real-data readiness: the moment real archives land on disk, every
+loader consumes them with zero code changes. Each test materializes a
+tiny REAL-FORMAT archive (IDX / MovingMNIST256 npz / Gemma-2
+embeddings.npz) in a scratch data dir and asserts the non-synthetic
+path loads it end to end."""
+
+import gzip
+import os
+import struct
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def data_dir(tmp_path, monkeypatch):
+    monkeypatch.setenv("XDIFFUSION_DATA_DIR", str(tmp_path))
+    return tmp_path
+
+
+def _write_idx_images(path, images):
+    # IDX3: magic 0x00000803, dims (N, H, W), uint8 payload.
+    n, h, w = images.shape
+    with open(path, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 0x08, 3))
+        f.write(struct.pack(">III", n, h, w))
+        f.write(images.astype(np.uint8).tobytes())
+
+
+def _write_idx_labels(path, labels, gz=False):
+    opener = gzip.open if gz else open
+    with opener(path, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 0x08, 1))
+        f.write(struct.pack(">I", len(labels)))
+        f.write(labels.astype(np.uint8).tobytes())
+
+
+def test_mnist_idx_archives_load(data_dir):
+    """IDX parsing end to end (reference datasets/mnist.py reads the
+    LeCun archives): magic header, big-endian dims, raw uint8 payload,
+    and the .gz variant for labels."""
+    from xdiffusion_tpu.datasets.mnist import MNIST
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, size=(64, 28, 28), dtype=np.uint8)
+    labels = (np.arange(64) % 10).astype(np.uint8)
+    base = data_dir / "mnist"
+    base.mkdir()
+    _write_idx_images(base / "train-images-idx3-ubyte", imgs)
+    _write_idx_labels(base / "train-labels-idx1-ubyte.gz", labels, gz=True)
+
+    ds = MNIST(split="train", image_size=32)
+    assert not ds.synthetic
+    assert len(ds) == 64
+    assert ds.images.shape == (64, 32, 32, 1)
+    np.testing.assert_array_equal(ds.labels, labels.astype(np.int32))
+    x, y = ds[3]
+    assert x.shape == (32, 32, 1) and int(y) == 3
+
+    # And the batch pipeline (native gather + normalize) on top of it.
+    from xdiffusion_tpu.datasets.utils import batch_iterator
+
+    batch = next(batch_iterator(ds, batch_size=16, seed=0))
+    assert batch["images"].shape == (16, 32, 32, 1)
+    assert batch["images"].dtype == np.float32
+    assert 0.0 <= batch["images"].min() and batch["images"].max() <= 1.0
+
+
+def test_moving_mnist_256_archive_loads(data_dir):
+    """The MovingMNIST256 download layout (reference datasets/
+    moving_mnist_256.py:82-113): flat (N*30, 256, 256) videos npz +
+    (N*30, 2) labels npz; per-video labels from frame 0; resize to the
+    training size."""
+    from xdiffusion_tpu.datasets.moving_mnist_256 import MovingMNIST256
+
+    n, f = 2, 30
+    rng = np.random.default_rng(1)
+    videos = rng.integers(0, 255, size=(n * f, 256, 256), dtype=np.uint8)
+    labels = np.tile(np.array([[3, 7], [1, 9]])[:, None, :], (1, f, 1))
+    base = data_dir / "MovingMNIST256"
+    base.mkdir()
+    np.savez_compressed(base / "videos_data.npz", videos)
+    np.savez_compressed(base / "labels_data.npz", labels.reshape(n * f, 2))
+
+    ds = MovingMNIST256(split="train", image_size=64)
+    assert not ds.synthetic
+    assert ds.videos.shape == (2, 30, 64, 64, 1)
+    np.testing.assert_array_equal(ds.labels, [[3, 7], [1, 9]])
+    video, lab = ds[0]
+    assert video.shape == (30, 64, 64, 1) and video.dtype == np.float32
+
+    from xdiffusion_tpu.datasets.moving_mnist_256 import (
+        convert_labels_to_prompts,
+    )
+
+    prompts = convert_labels_to_prompts(ds.labels)
+    assert len(prompts) == 2 and " and " in prompts[0]
+
+
+def test_moving_mnist_256_registry_and_fallback(data_dir):
+    """Registry routes video/moving_mnist_256 to the distinct dataset;
+    with no archive the 2-digit 30-frame synthetic fallback matches the
+    real contract's shapes."""
+    from xdiffusion_tpu.config import DotConfig
+    from xdiffusion_tpu.datasets.utils import load_dataset
+
+    cfg = DotConfig({"data": {"image_size": 32}})
+    ds, prompts_fn = load_dataset("video/moving_mnist_256", config=cfg)
+    assert type(ds).__name__ == "MovingMNIST256"
+    assert ds.synthetic
+    assert ds.videos.shape[1:] == (30, 32, 32, 1)
+    assert ds.labels.shape[1] == 2
+    assert " and " in prompts_fn(ds.labels[:1])[0]
+
+
+def test_gemma2_embeddings_npz_loads(data_dir):
+    """The precomputed Gemma-2 embedding archive (reference
+    tools/create_mnist_embeddings_gemma_2.py -> datasets/
+    mnist_embedded_gemma_2.py): (10 digits, 2 surface forms, 300, 2304)."""
+    from xdiffusion_tpu.datasets.mnist_embedded_gemma_2 import (
+        EMBEDDING_DIM,
+        EMBEDDING_TOKENS,
+        MNISTEmbeddedGemma2,
+    )
+
+    emb = np.zeros((10, 2, EMBEDDING_TOKENS, EMBEDDING_DIM), np.float16)
+    emb[:, :, 0, 0] = np.arange(10)[:, None]  # distinguishable rows
+    base = data_dir / "mnist_gemma2"
+    base.mkdir()
+    np.savez_compressed(base / "embeddings.npz", embeddings=emb)
+
+    ds = MNISTEmbeddedGemma2(split="train", image_size=32)
+    assert not ds.synthetic_embeddings
+    out = ds.embeddings_for(
+        np.array([4, 9]), rng=np.random.default_rng(0)
+    )
+    assert out.shape == (2, EMBEDDING_TOKENS, EMBEDDING_DIM)
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out[:, 0, 0], [4.0, 9.0])

@@ -635,6 +635,61 @@ def test_hunyuan_video_transformer_forward_matches_reference():
     np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
 
 
+def test_unet_export_to_torch_round_trip():
+    """Inverse exporter (importers/export_torch.py): a flax-trained UNet
+    exported into the reference torch module must produce identical
+    outputs — the instrument for cross-stack FID verification on models
+    trained HERE. Perturbed random init so zero-init layers contribute."""
+    import torch
+
+    config = f"{CONFIGS}/ddpm_32x32_epsilon_discrete.yaml"
+    net, _ = _ref_net(config)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.diffusion.ddpm import GaussianDiffusion_DDPM
+    from xdiffusion_tpu.importers.export_torch import export_unet_params
+
+    cfg = load_yaml(config)
+    ours = GaussianDiffusion_DDPM(cfg)
+    params = ours.init_params(jax.random.PRNGKey(3))
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    leaves = [
+        l + 0.05 * jax.random.normal(jax.random.PRNGKey(500 + i), l.shape)
+        for i, l in enumerate(leaves)
+    ]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    sd = export_unet_params(params)
+    # The reference registers its shared projections ModuleDict under each
+    # context-transformer head too — alias the canonical tensors.
+    for key in net.state_dict().keys():
+        if key not in sd:
+            idx = key.find("_projections.")
+            if idx > 0 and key[idx:] in sd:
+                sd[key] = sd[key[idx:]]
+    missing = [k for k in net.state_dict().keys() if k not in sd]
+    assert not missing, f"export missing reference keys: {missing[:8]}"
+    net.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in sd.items()})
+
+    rng = np.random.default_rng(53)
+    x = rng.standard_normal((2, 1, 32, 32), dtype=np.float32)
+    t = np.array([11, 702], dtype=np.int64)
+    with torch.no_grad():
+        ref_out = net(
+            torch.from_numpy(x), {"timestep": torch.from_numpy(t)}
+        ).numpy()
+    our_out = ours.predict_score(
+        params,
+        np.transpose(x, (0, 2, 3, 1)),
+        {"timestep": np.asarray(t, dtype=np.int32)},
+    )
+    our_out = np.transpose(np.asarray(our_out), (0, 3, 1, 2))
+    np.testing.assert_allclose(our_out, ref_out, atol=2e-4, rtol=2e-3)
+
+
 def test_bpe_token_ids_match_reference():
     """Token-level compatibility: our shipped GPT-2 BPE assets + encoder
     must produce the exact ids the reference tokenizer does

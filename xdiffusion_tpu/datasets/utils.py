@@ -32,13 +32,23 @@ def load_dataset(dataset_name: str, config=None, split: str = "train"):
             mnist.MNIST(split=split, image_size=image_size, invert=True),
             mnist.convert_labels_to_prompts,
         )
-    if dataset_name in ("video/moving_mnist", "video/moving_mnist_256"):
+    if dataset_name == "video/moving_mnist":
         from xdiffusion_tpu.datasets import moving_mnist
 
-        size = 256 if dataset_name.endswith("256") else image_size
         return (
-            moving_mnist.MovingMNIST(split=split, image_size=size),
+            moving_mnist.MovingMNIST(split=split, image_size=image_size),
             moving_mnist.convert_labels_to_prompts,
+        )
+    if dataset_name == "video/moving_mnist_256":
+        # Distinct 2-digit 256-native dataset (reference datasets/
+        # moving_mnist_256.py), resized to the configured training size.
+        from xdiffusion_tpu.datasets import moving_mnist_256
+
+        return (
+            moving_mnist_256.MovingMNIST256(
+                split=split, image_size=image_size
+            ),
+            moving_mnist_256.convert_labels_to_prompts,
         )
     if dataset_name in ("image/moving_mnist", "image/moving_mnist_inverted"):
         # Image view of moving-mnist: single frames.
