@@ -3,8 +3,9 @@ and construct its diffusion process object.
 
 This is the line-by-line inventory check for the user-facing config zoo:
 a config whose target strings don't resolve, or whose process constructor
-rejects the schema, fails here. Full-size parameter initialization is
-exercised separately (slow, opt-in via XDIFFUSION_FULL_CONFIG_ZOO=1).
+rejects the schema, fails here. Full-size parameter initialization runs
+in the default suite too (opt out with XDIFFUSION_SKIP_FULL_CONFIG_ZOO=1
+for quick iterations).
 """
 
 import os
@@ -100,8 +101,8 @@ def test_model_config_abstract_init(rel, monkeypatch):
 
 
 @pytest.mark.skipif(
-    os.environ.get("XDIFFUSION_FULL_CONFIG_ZOO", "0") != "1",
-    reason="full-size concrete init is slow; opt in with XDIFFUSION_FULL_CONFIG_ZOO=1",
+    os.environ.get("XDIFFUSION_SKIP_FULL_CONFIG_ZOO", "0") == "1",
+    reason="full-size concrete init skipped by request",
 )
 @pytest.mark.parametrize(
     "rel",
@@ -109,6 +110,9 @@ def test_model_config_abstract_init(rel, monkeypatch):
     ids=str,
 )
 def test_model_config_initializes_params(rel, monkeypatch):
+    """Concrete full-size parameter init for EVERY config, in the
+    DEFAULT suite (adds ~25 min on this box; opt out with
+    XDIFFUSION_SKIP_FULL_CONFIG_ZOO=1 for quick iterations)."""
     monkeypatch.chdir(REPO)
     from xdiffusion_tpu.training.image.train import build_model
 
