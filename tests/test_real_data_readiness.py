@@ -137,3 +137,45 @@ def test_gemma2_embeddings_npz_loads(data_dir):
     assert out.shape == (2, EMBEDDING_TOKENS, EMBEDDING_DIM)
     assert out.dtype == np.float32
     np.testing.assert_allclose(out[:, 0, 0], [4.0, 9.0])
+
+
+def test_trained_perceptual_filters_pipeline(data_dir):
+    """Trained perceptual features (reference VGG-LPIPS stand-in,
+    losses.py:556-671): the FID-LeNet recipe trains the perceptual conv
+    pyramid as a classifier; saved filters are picked up by
+    perceptual_distance automatically and behave like a metric."""
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.autoencoders import perceptual
+    from xdiffusion_tpu.datasets.synthetic import generate_digits
+
+    images, labels = generate_digits(512, seed=0, image_size=32)
+    images = images.astype(np.float32) / 255.0
+    filters, loss = perceptual.train_perceptual_filters(
+        images, labels, steps=60, batch_size=64
+    )
+    assert np.isfinite(loss)
+    path = data_dir / "perceptual" / "filters.npz"
+    perceptual.save_filters(str(path), filters)
+
+    perceptual._TRAINED_CACHE.clear()
+    loaded = perceptual.load_trained_filters(3)
+    assert loaded is not None and len(loaded) == len(perceptual._STAGES)
+
+    x = jnp.asarray(images[:4, ..., :] * 2.0 - 1.0).reshape(4, 32, 32, 1)
+    y = jnp.asarray(images[4:8, ...] * 2.0 - 1.0).reshape(4, 32, 32, 1)
+    d_same = np.asarray(perceptual.perceptual_distance(x, x))
+    d_diff = np.asarray(perceptual.perceptual_distance(x, y))
+    assert np.allclose(d_same, 0.0, atol=1e-6)
+    assert (d_diff > 1e-4).all()
+
+    # The trained bank actually changes the metric vs the random pyramid.
+    import os
+
+    os.environ["XDIFFUSION_PERCEPTUAL"] = "random"
+    try:
+        d_rand = np.asarray(perceptual.perceptual_distance(x, y))
+    finally:
+        os.environ.pop("XDIFFUSION_PERCEPTUAL")
+    assert not np.allclose(d_diff, d_rand)
+    perceptual._TRAINED_CACHE.clear()

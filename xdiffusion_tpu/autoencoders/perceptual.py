@@ -79,6 +79,146 @@ def _normalize(feat: jax.Array, eps: float = 1e-10) -> jax.Array:
     return feat / (norm + eps)
 
 
+# ---------------------------------------------------------------------------
+# TRAINED feature pyramid (closes the gap to reference VGG-LPIPS,
+# losses.py:556-671): the same conv geometry trained as a digit
+# classifier (the FID-LeNet recipe, eval/fid.py:48-86) so features carry
+# semantic structure instead of random projections. The repo ships a
+# pretrained filter bank (assets/perceptual_filters.npz, built by
+# tools/train_perceptual_features.py); XDIFFUSION_DATA_DIR/perceptual/
+# filters.npz overrides it, XDIFFUSION_PERCEPTUAL=random forces the
+# seeded surrogate.
+# ---------------------------------------------------------------------------
+
+_TRAINED_CACHE: dict = {}
+
+
+def _filters_search_paths() -> List[str]:
+    import os
+
+    paths = []
+    data_dir = os.environ.get("XDIFFUSION_DATA_DIR")
+    if data_dir:
+        paths.append(os.path.join(data_dir, "perceptual", "filters.npz"))
+    paths.append(
+        os.path.join(
+            os.path.dirname(__file__), "assets", "perceptual_filters.npz"
+        )
+    )
+    return paths
+
+
+def load_trained_filters(in_ch: int = 3):
+    """The trained filter bank [(w, b) per stage], or None. Cached."""
+    import os
+
+    if os.environ.get("XDIFFUSION_PERCEPTUAL") == "random":
+        return None
+    for path in _filters_search_paths():
+        key = (path, in_ch)
+        if key in _TRAINED_CACHE:
+            if _TRAINED_CACHE[key] is not None:
+                return _TRAINED_CACHE[key]
+            continue
+        if not os.path.exists(path):
+            _TRAINED_CACHE[key] = None
+            continue
+        data = np.load(path)
+        filters = []
+        ok = True
+        for i in range(len(_STAGES)):
+            w = data[f"w{i}"].astype(np.float32)
+            b = data[f"b{i}"].astype(np.float32)
+            if i == 0 and w.shape[2] != in_ch:
+                ok = False
+                break
+            filters.append((w, b))
+        _TRAINED_CACHE[key] = filters if ok else None
+        if ok:
+            return filters
+    return None
+
+
+def train_perceptual_filters(
+    images: np.ndarray,
+    labels: np.ndarray,
+    steps: int = 600,
+    batch_size: int = 128,
+    seed: int = 0,
+):
+    """Train the perceptual conv pyramid as a digit classifier (the
+    FID-LeNet recipe) and return [(w, b) per stage] as numpy arrays.
+
+    images: (N, S, S, C) in [0, 1]; single-channel input is tiled to 3
+    to match `perceptual_distance`'s input contract."""
+    import optax
+
+    if images.shape[-1] == 1:
+        images = np.tile(images, (1, 1, 1, 3))
+    n_classes = int(labels.max()) + 1
+
+    rng = np.random.default_rng(seed)
+    params = {
+        f"w{i}": jnp.asarray(w) for i, (w, _) in enumerate(_seeded_filters(3))
+    }
+    params.update(
+        {
+            f"b{i}": jnp.asarray(b)
+            for i, (_, b) in enumerate(_seeded_filters(3))
+        }
+    )
+    params["head_w"] = jnp.asarray(
+        rng.standard_normal((_STAGES[-1][0], n_classes)).astype(np.float32)
+        / np.sqrt(_STAGES[-1][0])
+    )
+    params["head_b"] = jnp.zeros((n_classes,), jnp.float32)
+
+    def logits_fn(p, x):
+        filters = [(p[f"w{i}"], p[f"b{i}"]) for i in range(len(_STAGES))]
+        feats = _features(x * 2.0 - 1.0, filters)
+        pooled = jnp.mean(feats[-1], axis=(1, 2))
+        return pooled @ p["head_w"] + p["head_b"]
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, o, x, y):
+        def loss_fn(p):
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits_fn(p, x), y
+            ).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    host = np.random.default_rng(seed)
+    for _ in range(steps):
+        idx = host.integers(0, images.shape[0], size=batch_size)
+        params, opt_state, loss = step(
+            params,
+            opt_state,
+            jnp.asarray(images[idx], jnp.float32),
+            jnp.asarray(labels[idx], jnp.int32),
+        )
+    return [
+        (np.asarray(params[f"w{i}"]), np.asarray(params[f"b{i}"]))
+        for i in range(len(_STAGES))
+    ], float(loss)
+
+
+def save_filters(path: str, filters) -> None:
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(
+        path,
+        **{f"w{i}": w for i, (w, _) in enumerate(filters)},
+        **{f"b{i}": b for i, (_, b) in enumerate(filters)},
+    )
+
+
 def perceptual_distance(x: jax.Array, y: jax.Array) -> jax.Array:
     """LPIPS-style distance, (B, F?, H, W, C) in [-1, 1] -> (B, 1...)
     broadcastable against the pixel reconstruction loss (matches the
@@ -96,7 +236,9 @@ def perceptual_distance(x: jax.Array, y: jax.Array) -> jax.Array:
     if x.shape[-1] == 1:
         x = jnp.tile(x, (1, 1, 1, 3))
         y = jnp.tile(y, (1, 1, 1, 3))
-    filters = _seeded_filters(x.shape[-1])
+    filters = load_trained_filters(x.shape[-1]) or _seeded_filters(
+        x.shape[-1]
+    )
     fx = _features(x, filters)
     fy = _features(y, filters)
     total = None
