@@ -41,11 +41,43 @@ def test_flash_kernel_interpret_matches_xla():
     q, k, v = _rand_qkv(jax.random.PRNGKey(2), b=1, h=2, s=512, d=128)
     scale = 128**-0.5
     with pltpu.force_tpu_interpret_mode():
-        out = _flash_forward(q, k, v, scale)
+        out, lse = _flash_forward(q, k, v, scale)
     expected = _xla_attention(q, k, v, scale=scale)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(expected), atol=2e-3, rtol=2e-3
     )
+    # The emitted logsumexp must match the dense computation.
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    want_lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(lse), np.asarray(want_lse), atol=1e-2, rtol=1e-3
+    )
+
+
+def test_flash_backward_pallas_head_dim_64():
+    """The Pallas backward at the video-transformer operating point
+    (head_dim 64, q/k block tiling active): gradients match the dense
+    reference."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from xdiffusion_tpu.ops.flash_attention import flash_attention
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(9), b=1, h=2, s=512, d=64)
+    scale = 64**-0.5
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale=scale) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
 
 
 def test_flash_backward_gradients_match():

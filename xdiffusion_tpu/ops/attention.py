@@ -89,14 +89,26 @@ def _xla_attention(
 
 
 def _flash_eligible(q: jax.Array, k: jax.Array) -> bool:
-    """Flash kernel pays off when tiles fill the MXU and seq is long."""
+    """Flash kernel pays off when tiles fill the MXU and seq is long.
+
+    Gate calibrated against the repo's long-sequence video-transformer
+    shapes: LTX/Hunyuan at a 16x32x32 latent grid put 16384 tokens
+    through self-attention at head_dim 64 (LTX dim_head 64, Hunyuan 128)
+    — so the head-dim requirement is a 64-multiple (a half-width MXU
+    tile; 128 stays the fast path), not the 128-multiple that excluded
+    every shipped config. k/v (and q/g in the backward) are held
+    VMEM-resident per (batch, head), which bounds the sequence."""
     if jax.default_backend() != "tpu":
         return False
     *_, sq, d = q.shape
     sk = k.shape[-2]
-    # Below these sizes the XLA path is already speed-of-light; the kernel's
-    # block bookkeeping would only add overhead. Head dim must tile to 128.
-    return sq >= 1024 and sk >= 1024 and d % 128 == 0
+    if not (sq >= 1024 and sk >= 1024 and d % 64 == 0):
+        # Below these sizes the XLA path is already speed-of-light; the
+        # kernel's block bookkeeping would only add overhead.
+        return False
+    # Residency bound: q/k/v/g full-sequence slabs per grid step in the
+    # backward -> 4 * S * d bytes must leave VMEM headroom.
+    return 4 * max(sq, sk) * d * q.dtype.itemsize <= 8 * 1024 * 1024
 
 
 def attention_bshd(

@@ -7,12 +7,15 @@ the kernel with a running (max, sum, accumulator) online softmax so the
 (Sq, Sk) logits matrix never materializes in HBM; logits/accumulation in
 fp32 on the MXU (preferred_element_type), inputs may be bf16.
 
-Backward: jax.custom_vjp recomputes attention with the fused XLA path —
-numerically identical gradients, no extra residual memory. (A Pallas
-backward kernel is a later optimization; training shapes in this repo are
-small enough that XLA's fused backward is at parity.)
+Backward: full Pallas, flash-style. The forward additionally emits the
+per-row logsumexp (a tiny (B, H, Sq) fp32 tensor); the backward is two
+kernels — dq streams q blocks and loops k/v tiles, dk/dv streams k/v
+blocks and loops q tiles — each recomputing probabilities exactly as
+p = exp(logits - lse), with the softmax-backward rowsum folded through
+delta = rowsum(g * o) so no (Sq, Sk) matrix ever touches HBM in either
+direction.
 
-Grid: (batch, heads, Sq/block_q); kv loop: lax.fori_loop over Sk/block_k.
+Grid: (batch, heads, S/block); inner tiles: lax.fori_loop.
 """
 
 from __future__ import annotations
@@ -29,7 +32,9 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, block_k: int
+):
     # q_ref: (1, 1, block_q, D); k_ref/v_ref: (1, 1, Sk, D) resident in VMEM.
     q = q_ref[0, 0]
     sk = k_ref.shape[2]
@@ -64,12 +69,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
 
     m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    # Per-row logsumexp: the backward's softmax residual (tiny vs O).
+    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q, k, v, scale: float):
     """q: (B, H, Sq, D); k/v: (B, H, Sk, D). Returns (B, H, Sq, D)."""
-    return _flash_forward(q, k, v, scale)
+    return _flash_forward(q, k, v, scale)[0]
 
 
 def _flash_forward(q, k, v, scale: float):
@@ -85,7 +92,10 @@ def _flash_forward(q, k, v, scale: float):
     kernel = functools.partial(_flash_kernel, scale=scale, block_k=block_k)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -104,10 +114,17 @@ def _flash_forward(q, k, v, scale: float):
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d),
-            lambda bi, hi, qi: (bi, hi, qi, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec(
+                (1, 1, block_q, d),
+                lambda bi, hi, qi: (bi, hi, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q),
+                lambda bi, hi, qi: (bi, hi, qi),
+                memory_space=pltpu.VMEM,
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq * sk * d,
@@ -378,24 +395,171 @@ def _bsc_bwd(heads, scale, residuals, g):
 short_attention_bsc.defvjp(_bsc_fwd, _bsc_bwd)
 
 
+def _flash_dq_kernel(
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, *,
+    scale: float, block_k: int,
+):
+    """dq for one q block: loop k/v tiles, p = exp(logits - lse),
+    ds = p * (g v^T - delta) * scale, dq += ds @ k."""
+    q = q_ref[0, 0]
+    g = g_ref[0, 0]
+    lse = lse_ref[0, 0][:, None]  # (block_q, 1) fp32
+    delta = delta_ref[0, 0][:, None]
+    sk = k_ref.shape[2]
+    block_q, d = q.shape
+
+    def body(i, dq):
+        k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        logits = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        p = jnp.exp(logits - lse)  # (block_q, block_k) fp32
+        dp = jax.lax.dot_general(
+            g, v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        return dq + jax.lax.dot_general(
+            ds, k,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dq = jax.lax.fori_loop(
+        0, sk // block_k, body, jnp.zeros((block_q, d), jnp.float32)
+    )
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dk_ref, dv_ref, *,
+    scale: float, block_q: int,
+):
+    """dk/dv for one k/v block: loop q tiles, accumulate
+    dv += p^T g and dk += ds^T q."""
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    sq = q_ref.shape[2]
+    block_k, d = k.shape
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        g = g_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        logits = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (block_q, block_k)
+        p = jnp.exp(logits - lse)
+        dv_new = dv + jax.lax.dot_general(
+            p.astype(g.dtype), g,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            g, v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dk_new = dk + jax.lax.dot_general(
+            ds, q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk_new, dv_new
+
+    dk, dv = jax.lax.fori_loop(
+        0,
+        sq // block_q,
+        body,
+        (
+            jnp.zeros((block_k, d), jnp.float32),
+            jnp.zeros((block_k, d), jnp.float32),
+        ),
+    )
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
 def _flash_fwd(q, k, v, scale):
-    return _flash_forward(q, k, v, scale), (q, k, v)
+    o, lse = _flash_forward(q, k, v, scale)
+    return o, (q, k, v, o, lse)
 
 
 def _flash_bwd(scale, residuals, g):
-    # Recompute attention with the fused XLA path and differentiate that —
-    # same math, so gradients match the kernel's forward.
-    q, k, v = residuals
+    q, k, v, o, lse = residuals
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(DEFAULT_BLOCK_Q, sq)
+    block_k = min(DEFAULT_BLOCK_K, sk)
+    # Softmax-backward rowsum folded through the output:
+    # sum_k dp*p == rowsum(g * o).
+    delta = jnp.sum(
+        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )  # (B, H, Sq)
 
-    def ref(q, k, v):
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+    q_block = pl.BlockSpec(
+        (1, 1, block_q, d), lambda bi, hi, i: (bi, hi, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    q_full = pl.BlockSpec(
+        (1, 1, sq, d), lambda bi, hi, i: (bi, hi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    k_block = pl.BlockSpec(
+        (1, 1, block_k, d), lambda bi, hi, i: (bi, hi, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    k_full = pl.BlockSpec(
+        (1, 1, sk, d), lambda bi, hi, i: (bi, hi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    row_block = pl.BlockSpec(
+        (1, 1, block_q), lambda bi, hi, i: (bi, hi, i),
+        memory_space=pltpu.VMEM,
+    )
+    row_full = pl.BlockSpec(
+        (1, 1, sq), lambda bi, hi, i: (bi, hi, 0),
+        memory_space=pltpu.VMEM,
+    )
 
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, scale=scale, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(b, h, sq // block_q),
+        in_specs=[q_block, k_full, k_full, q_block, row_block, row_block],
+        out_specs=q_block,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * sq * sk * d,
+            bytes_accessed=3 * q.size * q.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(q, k, v, g, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, scale=scale, block_q=block_q),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(b, h, sk // block_k),
+        in_specs=[q_full, k_block, k_block, q_full, row_full, row_full],
+        out_specs=(k_block, k_block),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * h * sq * sk * d,
+            bytes_accessed=4 * q.size * q.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(q, k, v, g, lse, delta)
+    return dq, dk, dv
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
