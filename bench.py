@@ -72,22 +72,28 @@ def main():
     samples_per_sec = BATCH * REPEATS / dt
     per_chip = samples_per_sec / n_chips
 
-    # MFU from XLA's own cost analysis of the score network forward (the
-    # sampling scan is 50 forwards + elementwise update math). v5e bf16
-    # peak: 394 TOPS int8 spec -> 197 TFLOP/s bf16 per chip.
+    # MFU. The HEADLINE definition is ANALYTIC: matmul/conv FLOPs counted
+    # from the score-network forward's jaxpr (2*M*N*K per contraction —
+    # the textbook model-flops convention), NOT XLA's cost analysis,
+    # which also counts fused elementwise/recompute work and overstates
+    # utilization by ~30% on this model. The cost-analysis figure is
+    # still emitted, clearly labeled, for continuity with round-2 logs.
+    # v5e bf16 peak: 394 TOPS int8 spec -> 197 TFLOP/s bf16 per chip.
     peak_flops = {"TPU v5 lite": 197e12}.get(
         jax.devices()[0].device_kind[:11], 197e12
     )
-    mfu = float("nan")
+    mfu = mfu_xla = float("nan")
     try:
         x = jax.numpy.zeros((BATCH, 32, 32, 1), jax.numpy.float32)
         t = jax.numpy.zeros((BATCH,), jax.numpy.int32)
-        fwd = jax.jit(lambda p, x, t: model.predict_score(p, x, {"timestep": t}))
-        ca = fwd.lower(params, x, t).compile().cost_analysis()
+        fwd = lambda p, x, t: model.predict_score(p, x, {"timestep": t})
+        analytic = analytic_matmul_flops(fwd, params, x, t)
+        mfu = (analytic * STEPS * samples_per_sec / BATCH) / peak_flops
+        ca = jax.jit(fwd).lower(params, x, t).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
-        flops_per_call = ca.get("flops", float("nan"))
-        mfu = (flops_per_call * STEPS * samples_per_sec / BATCH) / peak_flops
+        flops_xla = ca.get("flops", float("nan"))
+        mfu_xla = (flops_xla * STEPS * samples_per_sec / BATCH) / peak_flops
     except Exception:
         pass
 
@@ -99,9 +105,74 @@ def main():
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(per_chip / BASELINE_SAMPLES_PER_SEC_CHIP, 3),
                 "mfu": round(mfu, 4),
+                "mfu_xla_cost_analysis": round(mfu_xla, 4),
             }
         )
     )
+
+
+def analytic_matmul_flops(fn, *args) -> float:
+    """Matmul/conv FLOPs of fn's jaxpr: 2*M*N*K per dot_general,
+    2 * out_elements * (kh*kw*cin) per conv. Recurses into scan/cond/
+    pjit/remat sub-jaxprs (scan body multiplied by trip count)."""
+    import jax
+    import numpy as np
+
+    jaxpr = jax.make_jaxpr(fn)(*args)
+
+    def eqn_flops(eqn) -> float:
+        prim = eqn.primitive.name
+        if prim == "dot_general":
+            lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+            (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+            batch = int(np.prod([lhs.shape[i] for i in lb], initial=1))
+            k = int(np.prod([lhs.shape[i] for i in lc], initial=1))
+            m = int(
+                np.prod(
+                    [
+                        s
+                        for i, s in enumerate(lhs.shape)
+                        if i not in lc and i not in lb
+                    ],
+                    initial=1,
+                )
+            )
+            n = int(
+                np.prod(
+                    [
+                        s
+                        for i, s in enumerate(rhs.shape)
+                        if i not in rc and i not in rb
+                    ],
+                    initial=1,
+                )
+            )
+            return 2.0 * batch * m * n * k
+        if prim == "conv_general_dilated":
+            out = eqn.outvars[0].aval
+            rhs = eqn.invars[1].aval
+            dn = eqn.params["dimension_numbers"]
+            rhs_spec = dn.rhs_spec  # (out_c, in_c_per_group, *spatial)
+            k_spatial = int(
+                np.prod([rhs.shape[i] for i in rhs_spec[2:]], initial=1)
+            )
+            cin_per_group = int(rhs.shape[rhs_spec[1]])
+            return 2.0 * int(np.prod(out.shape)) * k_spatial * cin_per_group
+        total = 0.0
+        for key in ("jaxpr", "call_jaxpr", "branches", "cond_jaxpr"):
+            sub = eqn.params.get(key)
+            if sub is None:
+                continue
+            subs = sub if isinstance(sub, (tuple, list)) else [sub]
+            for s in subs:
+                inner = getattr(s, "jaxpr", s)
+                mult = (
+                    eqn.params.get("length", 1) if prim == "scan" else 1
+                )
+                total += mult * sum(eqn_flops(e) for e in inner.eqns)
+        return total
+
+    return sum(eqn_flops(e) for e in jaxpr.jaxpr.eqns)
 
 
 if __name__ == "__main__":
