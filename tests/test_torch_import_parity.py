@@ -313,6 +313,70 @@ def test_sd3_mmdit_forward_matches_reference():
     np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
 
 
+def test_sd35_mmdit_x_forward_matches_reference():
+    """SD3.5 MMDiT-X golden parity (reference score_networks/sd35.py +
+    layers/sd35.py) on the shipped sd3.5.yaml: dual-attention blocks
+    whose second self-attention modulates off the same fused 9*d
+    adaLN linear and lands its residual BEFORE the MLP, with per-head
+    rms qk-norm on every stream."""
+    import torch
+
+    config = "/root/reference/configs/image/mnist/sd3.5.yaml"
+    torch.manual_seed(0)
+    net, _ = _ref_net(config)
+    sd = randomize_zero_init(net.state_dict())
+    net.load_state_dict(sd)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.importers.torch_state_dict import import_sd3_params
+    from xdiffusion_tpu.score_networks.sd35 import SD35Transformer2DModel
+
+    cfg = load_yaml(config)
+    ours = SD35Transformer2DModel(config=cfg.diffusion.score_network.params)
+
+    rng = np.random.default_rng(29)
+    x = rng.standard_normal((2, 1, 32, 32), dtype=np.float32)
+    t = np.array([44, 881], dtype=np.int64)
+    text = rng.standard_normal((2, 11, 2048), dtype=np.float32)
+    pooled = rng.standard_normal((2, 2048), dtype=np.float32)
+
+    ctx = {
+        "timestep": jnp.asarray(t, jnp.int32),
+        "text_embeddings": jnp.asarray(text),
+        "pooled_text_embeddings": jnp.asarray(pooled),
+    }
+    params = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(np.transpose(x, (0, 2, 3, 1))), ctx
+    )
+    params = import_sd3_params(
+        params, {k: v.detach().numpy() for k, v in sd.items()}
+    )
+
+    with torch.no_grad():
+        ref_out = net(
+            torch.from_numpy(x),
+            {
+                "timestep": torch.from_numpy(t),
+                "text_embeddings": torch.from_numpy(text),
+                "pooled_text_embeddings": torch.from_numpy(pooled),
+            },
+        )
+    if isinstance(ref_out, (tuple, list)):
+        ref_out = ref_out[0]
+    ref_out = ref_out.numpy()
+
+    our_out = ours.apply(
+        params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), ctx
+    )
+    if isinstance(our_out, (tuple, list)):
+        our_out = our_out[0]
+    our_out = np.transpose(np.asarray(our_out), (0, 3, 1, 2))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
+
+
 def test_unet3d_forward_matches_reference():
     """Video UNet golden parity (reference score_networks/unet_3d.py:27,
     layers/resnet_3d.py, layers/attention.py:383-676) on the shipped

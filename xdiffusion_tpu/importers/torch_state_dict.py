@@ -675,7 +675,29 @@ def import_sd3_params(
             base = f"transformer_blocks.{m.group(1)}"
             child = path[1]
             if child == "mod_x":
-                return (_leaf_name(f"{base}.norm1.linear", leaf), tf)
+                # SD3.5 dual-attention blocks fuse 9*d modulation signals
+                # in ONE norm1.linear (SD35AdaLayerNormZeroX, reference
+                # layers/sd35.py:188-236); our tree keeps mod_x (first
+                # 6*d) and mod_x2attn (last 3*d) separate.
+                key = f"{base}.norm1.linear"
+
+                def tf_mod(sd_, key=key, leaf=leaf, base=base):
+                    w = sd_[key + (".weight" if leaf == "kernel" else ".bias")]
+                    if f"{base}.attn2.to_q.weight" in sd_:  # dual: 9*d fused
+                        w = w[: (w.shape[0] // 9) * 6]
+                    return w.T if leaf == "kernel" else w
+
+                return (MULTI, tf_mod)
+            if child == "mod_x2attn":
+                key = f"{base}.norm1.linear"
+
+                def tf_mod2(sd_, key=key, leaf=leaf):
+                    w = sd_[key + (".weight" if leaf == "kernel" else ".bias")]
+                    d6 = (w.shape[0] // 9) * 6
+                    w = w[d6:]
+                    return w.T if leaf == "kernel" else w
+
+                return (MULTI, tf_mod2)
             if child == "mod_c":
                 return (_leaf_name(f"{base}.norm1_context.linear", leaf), tf)
             if child == "qkv_x":
@@ -688,10 +710,29 @@ def import_sd3_params(
                     f"{base}.attn.add_v_proj",
                 ]
                 return (MULTI, _concat_dense(keys, bias=leaf == "bias"))
+            if child == "qkv_x2":
+                keys = [
+                    f"{base}.attn2.to_q",
+                    f"{base}.attn2.to_k",
+                    f"{base}.attn2.to_v",
+                ]
+                return (MULTI, _concat_dense(keys, bias=leaf == "bias"))
             if child == "proj_x":
                 return (_leaf_name(f"{base}.attn.to_out.0", leaf), tf)
+            if child == "proj_x2":
+                return (_leaf_name(f"{base}.attn2.to_out.0", leaf), tf)
             if child == "proj_c":
                 return (_leaf_name(f"{base}.attn.to_add_out", leaf), tf)
+            norms = {
+                "q_norm": f"{base}.attn.norm_q.weight",
+                "k_norm": f"{base}.attn.norm_k.weight",
+                "c_q_norm": f"{base}.attn.norm_added_q.weight",
+                "c_k_norm": f"{base}.attn.norm_added_k.weight",
+                "q2_norm": f"{base}.attn2.norm_q.weight",
+                "k2_norm": f"{base}.attn2.norm_k.weight",
+            }
+            if child in norms:
+                return (norms[child], _identity)
             ff = {
                 "mlp_x1": f"{base}.ff.net.0.proj",
                 "mlp_x2": f"{base}.ff.net.2",
@@ -977,7 +1018,9 @@ def import_score_network_params(
         return import_dit_params(flax_params, sd, strict=strict)
     if target.endswith(".PixArtAlpha"):
         return import_pixart_params(flax_params, sd, strict=strict)
-    if target.endswith(".SD3Transformer2DModel"):
+    if target.endswith(".SD3Transformer2DModel") or target.endswith(
+        ".SD35Transformer2DModel"
+    ):
         return import_sd3_params(flax_params, sd, strict=strict)
     if target.endswith("sora.Sora"):
         return import_sora_params(flax_params, sd, strict=strict)

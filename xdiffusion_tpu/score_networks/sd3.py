@@ -66,6 +66,10 @@ class MMDiTBlock(nn.Module):
     # stream, sharing norm_x1's output with its own modulation, whose
     # residual lands BEFORE the MLP (reference layers/sd35.py:115-157).
     dual_attention: bool = False
+    # Per-head RMS qk-norm on both joint-attention streams (and attn2)
+    # — SD3.5's qk_norm: "rms_norm" (reference layers/sd3.py:433-441,
+    # 512-518; sd35.py:75-89). SD3 runs without it.
+    qk_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -109,6 +113,13 @@ class MMDiTBlock(nn.Module):
         ).transpose(0, 2, 1, 3)
         qx, kx, vx = (to_heads(t, n) for t in jnp.split(qkv_x, 3, axis=-1))
         qc, kc, vc = (to_heads(t, l) for t in jnp.split(qkv_c, 3, axis=-1))
+        if self.qk_norm:
+            from xdiffusion_tpu.layers.norm import RMSNorm
+
+            qx = RMSNorm(dim=head_dim, name="q_norm")(qx)
+            kx = RMSNorm(dim=head_dim, name="k_norm")(kx)
+            qc = RMSNorm(dim=head_dim, name="c_q_norm")(qc)
+            kc = RMSNorm(dim=head_dim, name="c_k_norm")(kc)
 
         # Joint attention over [text; image] tokens.
         q = jnp.concatenate([qc, qx], axis=2)
@@ -130,6 +141,11 @@ class MMDiTBlock(nn.Module):
             q2, k2, v2 = (
                 to_heads(t, n) for t in jnp.split(qkv2, 3, axis=-1)
             )
+            if self.qk_norm:
+                from xdiffusion_tpu.layers.norm import RMSNorm
+
+                q2 = RMSNorm(dim=head_dim, name="q2_norm")(q2)
+                k2 = RMSNorm(dim=head_dim, name="k2_norm")(k2)
             attn2 = dot_product_attention(q2, k2, v2)
             attn2 = attn2.transpose(0, 2, 1, 3).reshape(b, n, d)
             x = x + g2[:, None] * nn.Dense(
@@ -221,6 +237,7 @@ class SD3Transformer2DModel(nn.Module):
             dim=self._dim,
             num_heads=self._num_heads,
             context_pre_only=(i == n_layers - 1),
+            qk_norm=str(self.config.get("qk_norm", "")) == "rms_norm",
             name=f"block_{i}",
         )
 

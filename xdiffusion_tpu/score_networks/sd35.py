@@ -33,5 +33,6 @@ class SD35Transformer2DModel(_SD3):
             num_heads=self._num_heads,
             context_pre_only=(i == n_layers - 1),
             dual_attention=in_dual,
+            qk_norm=str(self.config.get("qk_norm", "")) == "rms_norm",
             name=f"block_{i}",
         )
