@@ -754,6 +754,71 @@ def test_unet_export_to_torch_round_trip():
     np.testing.assert_allclose(our_out, ref_out, atol=2e-4, rtol=2e-3)
 
 
+def test_flux_forward_matches_reference():
+    """Flux golden parity (reference score_networks/flux.py:41-191 +
+    layers/flux.py) on the shipped flux.yaml: channel-first patchify,
+    2x2-matrix rope over (0, row, col) ids, QKNorm rms weights in both
+    stream families, MLPEmbedder vec conditioning with time_factor=1000
+    features, double->single stream merge — identical imported weights."""
+    import torch
+
+    config = f"{CONFIGS}/flux.yaml"
+    torch.manual_seed(0)
+    net, _ = _ref_net(config)
+    sd = randomize_zero_init(net.state_dict())
+    net.load_state_dict(sd)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.importers.torch_state_dict import import_flux_params
+    from xdiffusion_tpu.score_networks.flux import Flux
+
+    cfg = load_yaml(config)
+    p = cfg.diffusion.score_network.params
+    ours = Flux(config=p)
+
+    rng = np.random.default_rng(59)
+    patch = int(p.patch_size)
+    c = int(p.in_channels) // (patch * patch)
+    x = rng.standard_normal((2, c, 32, 32), dtype=np.float32)
+    t = np.array([0.41, 0.77], dtype=np.float32)
+    t5 = rng.standard_normal((2, 9, int(p.context_in_dim)), dtype=np.float32)
+    clip = rng.standard_normal((2, int(p.vec_in_dim)), dtype=np.float32)
+
+    ctx = {
+        "timestep": jnp.asarray(t),
+        "t5_text_embeddings": jnp.asarray(t5),
+        "clip_text_embeddings": jnp.asarray(clip),
+    }
+    x_ours = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    params = ours.init(jax.random.PRNGKey(0), x_ours, ctx)
+    params = import_flux_params(
+        params, {k: v.detach().numpy() for k, v in sd.items()}
+    )
+
+    with torch.no_grad():
+        ref_out = net(
+            torch.from_numpy(x),
+            {
+                "timestep": torch.from_numpy(t),
+                "t5_text_embeddings": torch.from_numpy(t5),
+                "clip_text_embeddings": torch.from_numpy(clip),
+            },
+        )
+    if isinstance(ref_out, (tuple, list)):
+        ref_out = ref_out[0]
+    ref_out = ref_out.numpy()
+
+    with jax.default_matmul_precision("highest"):
+        our_out = ours.apply(params, x_ours, ctx)
+    if isinstance(our_out, (tuple, list)):
+        our_out = our_out[0]
+    our_out = np.transpose(np.asarray(our_out), (0, 3, 1, 2))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
+
+
 def test_bpe_token_ids_match_reference():
     """Token-level compatibility: our shipped GPT-2 BPE assets + encoder
     must produce the exact ids the reference tokenizer does

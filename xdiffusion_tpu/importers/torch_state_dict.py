@@ -882,6 +882,74 @@ def import_ltx_video_params(
     return _apply_mapping(flax_params, sd, resolve, strict=strict)
 
 
+# -- Flux (reference score_networks/flux.py:41) ------------------------------
+
+
+def import_flux_params(
+    flax_params: Dict, sd: Dict[str, Array], *, strict: bool = True
+) -> Dict:
+    """Import a reference Flux state_dict into our
+    `score_networks.flux.Flux` param tree (double/single stream blocks,
+    QKNorm rms weights, MLPEmbedders, LastLayer)."""
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+        tf = _dense if leaf == "kernel" else _identity
+
+        if top in ("img_in", "txt_in"):
+            return (_leaf_name(top, leaf), tf)
+        if top in ("time_in", "vector_in", "guidance_in"):
+            sub = {"in_layer": f"{top}.in_layer", "out_layer": f"{top}.out_layer"}
+            return (_leaf_name(sub[path[1]], leaf), tf)
+        if top == "final":
+            if path[1] == "mod":
+                return (_leaf_name("final_layer.adaLN_modulation.1", leaf), tf)
+            if path[1] == "proj":
+                return (_leaf_name("final_layer.linear", leaf), tf)
+
+        m = _HY_DOUBLE_RE.match(top)
+        if m:
+            base = f"double_blocks.{m.group(1)}"
+            child = path[1]
+            if child in ("img_mod", "txt_mod"):
+                return (_leaf_name(f"{base}.{child}.lin", leaf), tf)
+            norms = {
+                "img_q_norm": f"{base}.img_attn.norm.query_norm.scale",
+                "img_k_norm": f"{base}.img_attn.norm.key_norm.scale",
+                "txt_q_norm": f"{base}.txt_attn.norm.query_norm.scale",
+                "txt_k_norm": f"{base}.txt_attn.norm.key_norm.scale",
+            }
+            if child in norms:
+                return (norms[child], _identity)
+            lin = {
+                "img_qkv": f"{base}.img_attn.qkv",
+                "img_proj": f"{base}.img_attn.proj",
+                "img_mlp1": f"{base}.img_mlp.0",
+                "img_mlp2": f"{base}.img_mlp.2",
+                "txt_qkv": f"{base}.txt_attn.qkv",
+                "txt_proj": f"{base}.txt_attn.proj",
+                "txt_mlp1": f"{base}.txt_mlp.0",
+                "txt_mlp2": f"{base}.txt_mlp.2",
+            }
+            if child in lin:
+                return (_leaf_name(lin[child], leaf), tf)
+        m = _HY_SINGLE_RE.match(top)
+        if m:
+            base = f"single_blocks.{m.group(1)}"
+            child = path[1]
+            if child == "modulation":
+                return (_leaf_name(f"{base}.modulation.lin", leaf), tf)
+            if child == "q_norm":
+                return (f"{base}.norm.query_norm.scale", _identity)
+            if child == "k_norm":
+                return (f"{base}.norm.key_norm.scale", _identity)
+            if child in ("linear1", "linear2"):
+                return (_leaf_name(f"{base}.{child}", leaf), tf)
+        return None
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
 # -- HunyuanVideo (reference score_networks/hunyuan_video.py:404) ------------
 
 _HY_DOUBLE_RE = re.compile(r"^double_(\d+)$")
@@ -1024,6 +1092,8 @@ def import_score_network_params(
         return import_sd3_params(flax_params, sd, strict=strict)
     if target.endswith("sora.Sora"):
         return import_sora_params(flax_params, sd, strict=strict)
+    if target.endswith("flux.Flux"):
+        return import_flux_params(flax_params, sd, strict=strict)
     if target.endswith(".LTXVideoTransformer"):
         return import_ltx_video_params(flax_params, sd, strict=strict)
     if target.endswith(".HYVideoDiffusionTransformer"):
