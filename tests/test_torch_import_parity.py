@@ -819,6 +819,65 @@ def test_flux_forward_matches_reference():
     np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
 
 
+def test_sana_forward_matches_reference():
+    """Sana golden parity (reference score_networks/sana.py:222-377) on
+    the shipped sana.yaml: ReLU linear attention with the padded-ones
+    normalizer, softmax caption cross-attention, GLUMBConv Mix-FFN over
+    the 2D grid, adaLN-single conditioning, rms caption norm, final
+    scale_shift_table — identical imported weights."""
+    import torch
+
+    config = f"{CONFIGS}/sana.yaml"
+    torch.manual_seed(0)
+    net, _ = _ref_net(config)
+    sd = randomize_zero_init(net.state_dict())
+    net.load_state_dict(sd)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.importers.torch_state_dict import import_sana_params
+    from xdiffusion_tpu.score_networks.sana import SanaScoreNetwork
+
+    cfg = load_yaml(config)
+    ours = SanaScoreNetwork(config=cfg.diffusion.score_network.params)
+
+    rng = np.random.default_rng(61)
+    x = rng.standard_normal((2, 1, 32, 32), dtype=np.float32)
+    t = np.array([31, 640], dtype=np.int64)
+    captions = rng.standard_normal((2, 7, 2304), dtype=np.float32)
+
+    ctx = {
+        "timestep": jnp.asarray(t, jnp.int32),
+        "text_embeddings": jnp.asarray(captions),
+    }
+    x_ours = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    params = ours.init(jax.random.PRNGKey(0), x_ours, ctx)
+    params = import_sana_params(
+        params, {k: v.detach().numpy() for k, v in sd.items()}
+    )
+
+    with torch.no_grad():
+        ref_out = net(
+            torch.from_numpy(x),
+            {
+                "timestep": torch.from_numpy(t),
+                "text_embeddings": torch.from_numpy(captions),
+            },
+        )
+    if isinstance(ref_out, (tuple, list)):
+        ref_out = ref_out[0]
+    ref_out = ref_out.numpy()
+
+    with jax.default_matmul_precision("highest"):
+        our_out = ours.apply(params, x_ours, ctx)
+    if isinstance(our_out, (tuple, list)):
+        our_out = our_out[0]
+    our_out = np.transpose(np.asarray(our_out), (0, 3, 1, 2))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
+
+
 def test_bpe_token_ids_match_reference():
     """Token-level compatibility: our shipped GPT-2 BPE assets + encoder
     must produce the exact ids the reference tokenizer does

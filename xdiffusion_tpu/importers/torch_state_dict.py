@@ -1053,6 +1053,78 @@ def import_hunyuan_video_params(
     return _apply_mapping(flax_params, sd, resolve, strict=strict)
 
 
+# -- Sana (reference score_networks/sana.py:222) -----------------------------
+
+_SANA_BLOCK_RE = re.compile(r"^block_(\d+)$")
+
+
+def import_sana_params(
+    flax_params: Dict, sd: Dict[str, Array], *, strict: bool = True
+) -> Dict:
+    """Import a reference SanaScoreNetwork state_dict into our
+    `score_networks.sana.SanaScoreNetwork` tree: linear-attention blocks
+    with GLUMBConv Mix-FFN, AdaLayerNormSingle conditioning, PixArt-style
+    caption projection + rms caption norm."""
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+        tf = _dense if leaf == "kernel" else _identity
+
+        if top == "patch_embed":
+            return (
+                _leaf_name("patch_embed.proj", leaf),
+                _conv2d if leaf == "kernel" else _identity,
+            )
+        if top == "t_embed":
+            sub = {
+                "fc1": "time_embed.emb.timestep_embedder.linear_1",
+                "fc2": "time_embed.emb.timestep_embedder.linear_2",
+            }
+            return (_leaf_name(sub[path[1]], leaf), tf)
+        if top == "t_block":
+            return (_leaf_name("time_embed.linear", leaf), tf)
+        if top == "caption_fc1":
+            return (_leaf_name("caption_projection.linear_1", leaf), tf)
+        if top == "caption_fc2":
+            return (_leaf_name("caption_projection.linear_2", leaf), tf)
+        if top == "caption_norm":
+            return ("caption_norm.weight", _identity)
+        if top == "final_scale_shift_table":
+            return ("scale_shift_table", _identity)
+        if top == "final_proj":
+            return (_leaf_name("proj_out", leaf), tf)
+
+        m = _SANA_BLOCK_RE.match(top)
+        if m:
+            base = f"transformer_blocks.{m.group(1)}"
+            child = path[1]
+            if child == "scale_shift_table":
+                return (f"{base}.scale_shift_table", _identity)
+            if child == "qkv":
+                keys = [f"{base}.attn1.to_q", f"{base}.attn1.to_k",
+                        f"{base}.attn1.to_v"]
+                return (MULTI, _concat_dense(keys, bias=leaf == "bias"))
+            if child == "cross_kv":
+                keys = [f"{base}.cross_attn.to_k", f"{base}.cross_attn.to_v"]
+                return (MULTI, _concat_dense(keys, bias=leaf == "bias"))
+            lin = {
+                "attn_proj": f"{base}.attn1.to_out.0",
+                "cross_q": f"{base}.cross_attn.to_q",
+                "cross_proj": f"{base}.cross_attn.to_out.0",
+            }
+            if child in lin:
+                return (_leaf_name(lin[child], leaf), tf)
+            if child == "mix_ffn":
+                conv = path[2]
+                key = f"{base}.ff.{conv}"
+                if leaf == "kernel":
+                    return (f"{key}.weight", _conv2d)
+                return (f"{key}.bias", _identity)
+        return None
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
 # -- dispatch ----------------------------------------------------------------
 
 
@@ -1094,6 +1166,8 @@ def import_score_network_params(
         return import_sora_params(flax_params, sd, strict=strict)
     if target.endswith("flux.Flux"):
         return import_flux_params(flax_params, sd, strict=strict)
+    if target.endswith(".SanaScoreNetwork"):
+        return import_sana_params(flax_params, sd, strict=strict)
     if target.endswith(".LTXVideoTransformer"):
         return import_ltx_video_params(flax_params, sd, strict=strict)
     if target.endswith(".HYVideoDiffusionTransformer"):

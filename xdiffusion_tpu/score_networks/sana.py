@@ -23,7 +23,6 @@ from flax import linen as nn
 from xdiffusion_tpu.layers.embedding import (
     DiTTimestepEmbedding,
     PatchEmbed,
-    sincos_position_embedding_2d,
 )
 from xdiffusion_tpu.layers.norm import RMSNorm
 from xdiffusion_tpu.ops import dot_product_attention
@@ -91,7 +90,9 @@ class SanaTransformerBlock(nn.Module):
         hd = d // self.num_attention_heads
         h = nn.LayerNorm(use_bias=False, use_scale=False, name="norm1")(x)
         h = h * (1 + sc1[:, None]) + s1[:, None]
-        qkv = nn.Dense(3 * d, name="qkv")(h)
+        # Reference hardcodes attention_bias=False for the linear
+        # self-attention's to_q/k/v (sana.py:246).
+        qkv = nn.Dense(3 * d, use_bias=False, name="qkv")(h)
         q, k, v = (
             t.reshape(b, n, self.num_attention_heads, hd).transpose(0, 2, 1, 3)
             for t in jnp.split(qkv, 3, axis=-1)
@@ -147,14 +148,19 @@ class SanaScoreNetwork(nn.Module):
         )
         self._grid = grid
 
+        # Reference PatchEmbed has pos_embed_type=None - NO positional
+        # embedding anywhere in Sana (sana.py:253-261); position information
+        # comes from the Mix-FFN's depthwise conv over the 2D grid.
         self._patch_embed = PatchEmbed(
             patch_size=self._patch_size, embed_dim=d, name="patch_embed"
         )
-        self._pos = sincos_position_embedding_2d(d, grid[0], grid[1])
         self._t_embed = DiTTimestepEmbedding(hidden_size=d, name="t_embed")
         self._t_block = nn.Dense(6 * d, name="t_block")
-        self._caption_projection = nn.Dense(d, name="caption_projection")
-        self._caption_norm = RMSNorm(dim=d, name="caption_norm")
+        # PixArtAlphaTextProjection: linear_1 -> tanh-gelu -> linear_2
+        # (reference embedding.py:676-705).
+        self._caption_fc1 = nn.Dense(d, name="caption_fc1")
+        self._caption_fc2 = nn.Dense(d, name="caption_fc2")
+        self._caption_norm = RMSNorm(dim=d, eps=1e-5, name="caption_norm")
         self._blocks = [
             SanaTransformerBlock(
                 dim=d,
@@ -169,7 +175,12 @@ class SanaScoreNetwork(nn.Module):
         self._final_norm = nn.LayerNorm(
             use_bias=False, use_scale=False, name="final_norm"
         )
-        self._final_mod_table = None
+        # Final scale_shift_table + raw embedded-timestep modulation
+        # (reference sana.py:296-361).
+        self._final_table = self.param(
+            "final_scale_shift_table",
+            lambda key: jax.random.normal(key, (2, d)) / d**0.5,
+        )
         self._final_proj = nn.Dense(
             self._patch_size**2 * self._out_channels,
             kernel_init=nn.initializers.zeros,
@@ -183,15 +194,21 @@ class SanaScoreNetwork(nn.Module):
         captions = context["text_embeddings"]  # (B, L, caption_channels)
 
         b, h, w, c = x.shape
-        tokens = self._patch_embed(x) + self._pos[None]
+        tokens = self._patch_embed(x)
         t_emb = self._t_embed(timestep)
         shared_mod = self._t_block(nn.silu(t_emb)).reshape(b, 6, self._dim)
-        y = self._caption_norm(self._caption_projection(captions))
+        y = self._caption_fc2(
+            nn.gelu(self._caption_fc1(captions), approximate=True)
+        )
+        y = self._caption_norm(y)
 
         for block in self._blocks:
             tokens = block(tokens, y, shared_mod, deterministic=deterministic)
 
+        fmod = self._final_table[None] + t_emb[:, None]  # (B, 2, D)
+        shift, scale = fmod[:, 0], fmod[:, 1]
         tokens = self._final_norm(tokens)
+        tokens = tokens * (1 + scale[:, None]) + shift[:, None]
         tokens = self._final_proj(tokens)
         p = self._patch_size
         gh, gw = self._grid
