@@ -878,6 +878,68 @@ def test_sana_forward_matches_reference():
     np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
 
 
+def test_auraflow_forward_matches_reference():
+    """AuraFlow golden parity (reference score_networks/auraflow.py:
+    18-524) on the shipped auraflow.yaml: bias-free joint/single blocks
+    with per-head fp32 qk layer-norm, SwiGLU feed-forwards, sandwich
+    residuals, learned center-cropped positional table, register tokens,
+    and the norm-free pre-final (scale, shift) modulation."""
+    import torch
+
+    config = f"{CONFIGS}/auraflow.yaml"
+    torch.manual_seed(0)
+    net, _ = _ref_net(config)
+    sd = randomize_zero_init(net.state_dict())
+    net.load_state_dict(sd)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.importers.torch_state_dict import import_auraflow_params
+    from xdiffusion_tpu.score_networks.auraflow import AuraFlow
+
+    cfg = load_yaml(config)
+    p = cfg.diffusion.score_network.params
+    ours = AuraFlow(config=p)
+
+    rng = np.random.default_rng(67)
+    x = rng.standard_normal((2, 1, 32, 32), dtype=np.float32)
+    t = np.array([0.27, 0.83], dtype=np.float32)
+    t5 = rng.standard_normal(
+        (2, 9, int(p.joint_attention_dim)), dtype=np.float32
+    )
+
+    ctx = {
+        "timestep": jnp.asarray(t),
+        "t5_text_embeddings": jnp.asarray(t5),
+    }
+    x_ours = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    params = ours.init(jax.random.PRNGKey(0), x_ours, ctx)
+    params = import_auraflow_params(
+        params, {k: v.detach().numpy() for k, v in sd.items()}
+    )
+
+    with torch.no_grad():
+        ref_out = net(
+            torch.from_numpy(x),
+            {
+                "timestep": torch.from_numpy(t),
+                "t5_text_embeddings": torch.from_numpy(t5),
+            },
+        )
+    if isinstance(ref_out, (tuple, list)):
+        ref_out = ref_out[0]
+    ref_out = ref_out.numpy()
+
+    with jax.default_matmul_precision("highest"):
+        our_out = ours.apply(params, x_ours, ctx)
+    if isinstance(our_out, (tuple, list)):
+        our_out = our_out[0]
+    our_out = np.transpose(np.asarray(our_out), (0, 3, 1, 2))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
+
+
 def test_bpe_token_ids_match_reference():
     """Token-level compatibility: our shipped GPT-2 BPE assets + encoder
     must produce the exact ids the reference tokenizer does

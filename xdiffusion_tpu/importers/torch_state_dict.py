@@ -1125,6 +1125,87 @@ def import_sana_params(
     return _apply_mapping(flax_params, sd, resolve, strict=strict)
 
 
+# -- AuraFlow (reference score_networks/auraflow.py:18) ----------------------
+
+_AF_MMDIT_RE = re.compile(r"^mmdit_(\d+)$")
+_AF_SINGLE_RE = re.compile(r"^single_(\d+)$")
+
+
+def import_auraflow_params(
+    flax_params: Dict, sd: Dict[str, Array], *, strict: bool = True
+) -> Dict:
+    """Import a reference AuraFlow state_dict into our
+    `score_networks.auraflow.AuraFlow` tree (bias-free joint/single
+    blocks, SwiGLU FFs, learned positional table, register tokens)."""
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+        tf = _dense if leaf == "kernel" else _identity
+
+        tops = {
+            "patch_proj": "pos_embed.proj",
+            "context_embedder": "context_embedder",
+            "t_fc1": "time_step_proj.linear_1",
+            "t_fc2": "time_step_proj.linear_2",
+            "final_mod": "norm_out.linear",
+            "final_proj": "proj_out",
+        }
+        if top in tops:
+            return (_leaf_name(tops[top], leaf), tf)
+        if top == "pos_embed":
+            return ("pos_embed.pos_embed", _identity)
+        if top == "register_tokens":
+            return ("register_tokens", _identity)
+
+        def ff_map(flax_ff, torch_ff, sub):
+            names = {"linear_1", "linear_2", "out_projection"}
+            if sub in names:
+                return (_leaf_name(f"{torch_ff}.{sub}", leaf), tf)
+            return None
+
+        m = _AF_MMDIT_RE.match(top)
+        if m:
+            base = f"joint_transformer_blocks.{m.group(1)}"
+            child = path[1]
+            if child == "mod_x":
+                return (_leaf_name(f"{base}.norm1.linear", leaf), tf)
+            if child == "mod_c":
+                return (_leaf_name(f"{base}.norm1_context.linear", leaf), tf)
+            if child == "qkv_x":
+                keys = [f"{base}.attn.to_q", f"{base}.attn.to_k",
+                        f"{base}.attn.to_v"]
+                return (MULTI, _concat_dense(keys, bias=leaf == "bias"))
+            if child == "qkv_c":
+                keys = [f"{base}.attn.add_q_proj", f"{base}.attn.add_k_proj",
+                        f"{base}.attn.add_v_proj"]
+                return (MULTI, _concat_dense(keys, bias=leaf == "bias"))
+            if child == "proj_x":
+                return (_leaf_name(f"{base}.attn.to_out.0", leaf), tf)
+            if child == "proj_c":
+                return (_leaf_name(f"{base}.attn.to_add_out", leaf), tf)
+            if child == "ff_x":
+                return ff_map(child, f"{base}.ff", path[2])
+            if child == "ff_c":
+                return ff_map(child, f"{base}.ff_context", path[2])
+        m = _AF_SINGLE_RE.match(top)
+        if m:
+            base = f"single_transformer_blocks.{m.group(1)}"
+            child = path[1]
+            if child == "mod":
+                return (_leaf_name(f"{base}.norm1.linear", leaf), tf)
+            if child == "qkv":
+                keys = [f"{base}.attn.to_q", f"{base}.attn.to_k",
+                        f"{base}.attn.to_v"]
+                return (MULTI, _concat_dense(keys, bias=leaf == "bias"))
+            if child == "proj":
+                return (_leaf_name(f"{base}.attn.to_out.0", leaf), tf)
+            if child == "ff":
+                return ff_map(child, f"{base}.ff", path[2])
+        return None
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
 # -- dispatch ----------------------------------------------------------------
 
 
@@ -1168,6 +1249,8 @@ def import_score_network_params(
         return import_flux_params(flax_params, sd, strict=strict)
     if target.endswith(".SanaScoreNetwork"):
         return import_sana_params(flax_params, sd, strict=strict)
+    if target.endswith(".AuraFlow"):
+        return import_auraflow_params(flax_params, sd, strict=strict)
     if target.endswith(".LTXVideoTransformer"):
         return import_ltx_video_params(flax_params, sd, strict=strict)
     if target.endswith(".HYVideoDiffusionTransformer"):
