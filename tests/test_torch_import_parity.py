@@ -940,6 +940,71 @@ def test_auraflow_forward_matches_reference():
     np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
 
 
+def test_efficient_unet_forward_matches_reference():
+    """Imagen Efficient UNet golden parity (reference score_networks/
+    efficient_unet.py:35-256 + layers/resnet.py:204-438) on an offline
+    fixture config (the shipped imagen configs need HF T5 downloads in
+    the torch constructor): DBlock down-first / UBlock up-last layout,
+    1/sqrt(2)-scaled residual blocks, per-level cross-attention with
+    context layer-norm over projected text tokens."""
+    import os
+
+    import torch
+
+    config = os.path.join(
+        os.path.dirname(__file__), "fixtures", "efficient_unet_parity.yaml"
+    )
+    torch.manual_seed(0)
+    net, _ = _ref_net(config)
+    sd = randomize_zero_init(net.state_dict())
+    net.load_state_dict(sd)
+
+    import jax
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.importers import import_score_network_params
+    from xdiffusion_tpu.score_networks.efficient_unet import Unet
+
+    import jax.numpy as jnp
+
+    cfg = load_yaml(config)
+    ours = Unet(config=cfg.diffusion.score_network.params)
+
+    rng = np.random.default_rng(71)
+    x = rng.standard_normal((2, 1, 32, 32), dtype=np.float32)
+    t = np.array([21, 777], dtype=np.int64)
+    tokens = rng.integers(0, 50, size=(2, 7))
+
+    ctx = {
+        "timestep": jnp.asarray(t, jnp.int32),
+        "text_tokens": jnp.asarray(tokens, jnp.int32),
+    }
+    x_ours = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    params = ours.init(jax.random.PRNGKey(0), x_ours, ctx)
+    params = import_score_network_params(cfg, params, {
+        k: v.detach().numpy() for k, v in sd.items()
+    })
+
+    with torch.no_grad():
+        ref_out = net(
+            torch.from_numpy(x),
+            {
+                "timestep": torch.from_numpy(t),
+                "text_tokens": torch.from_numpy(tokens),
+            },
+        )
+    if isinstance(ref_out, (tuple, list)):
+        ref_out = ref_out[0]
+    ref_out = ref_out.numpy()
+
+    with jax.default_matmul_precision("highest"):
+        our_out = ours.apply(params, x_ours, ctx)
+    if isinstance(our_out, (tuple, list)):
+        our_out = our_out[0]
+    our_out = np.transpose(np.asarray(our_out), (0, 3, 1, 2))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
+
+
 def test_bpe_token_ids_match_reference():
     """Token-level compatibility: our shipped GPT-2 BPE assets + encoder
     must produce the exact ids the reference tokenizer does

@@ -300,7 +300,7 @@ def import_unet_params(
                 return (f"{base}._proj_out.weight", _conv1d_dense)
             return (f"{base}._proj_out.bias", _identity)
         if child == "context_norm":
-            return (_leaf_name(f"{base}._context_layer_norm", leaf), _identity)
+            return (f"{base}._context_layer_norm.g", lambda w: w.reshape(-1))
         # Explicit resampling modules: ours are named "conv"; torch names
         # the conv "op" in Downsample, "conv" in Upsample (layers/
         # resnet.py:459,490).
@@ -438,7 +438,7 @@ def import_unet3d_params(
             )
         if child == "context_norm":
             return (
-                _leaf_name(f"{base}.fn._context_layer_norm", leaf), _identity
+                f"{base}.fn._context_layer_norm.g", lambda w: w.reshape(-1)
             )
         if child == "conv":
             op = "op" if pyramid == "downs" else "conv"
@@ -1206,6 +1206,127 @@ def import_auraflow_params(
     return _apply_mapping(flax_params, sd, resolve, strict=strict)
 
 
+# -- Efficient UNet (reference score_networks/efficient_unet.py:35) ----------
+
+_EFF_DOWN_RE = re.compile(r"^down_(\d+)$")
+_EFF_UP_RE = re.compile(r"^up_(\d+)$")
+_EFF_RES_RE = re.compile(r"^res_(\d+)$")
+
+
+def import_efficient_unet_params(
+    flax_params: Dict,
+    sd: Dict[str, Array],
+    *,
+    heads: int = 8,
+    dim_head: int = 64,
+    n_levels: int,
+    strict: bool = True,
+) -> Dict:
+    """Import a reference Imagen Efficient UNet state_dict into our
+    `score_networks.efficient_unet.Unet` tree: per-level DBlock/UBlock
+    (down-first/up-last), scaled-skip residual blocks, per-level
+    attention. Our up blocks are named by LEVEL while the torch ups list
+    is in reverse-level order — `n_levels` maps between them."""
+
+    def attn_heads(channels: int) -> int:
+        return heads if dim_head == -1 else channels // dim_head
+
+    _RES_TABLE = {
+        "norm1": "_resnet_path.0",
+        "conv1": "_resnet_path.2",
+        "norm2": "_resnet_path.3",
+        "conv2": "_resnet_path.6",
+        "skip": "_skip_connection",
+    }
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+
+        m = _PROJ_RE.match(top)
+        if m:
+            name = m.group(1)
+            base = f"_projections.{name}"
+            if path[1] == "fc1":
+                return (_leaf_name(f"{base}._projection.1", leaf), _dense)
+            if path[1] == "fc2":
+                return (_leaf_name(f"{base}._projection.3", leaf), _dense)
+            if path[1] in ("embed", "table"):
+                key = (
+                    f"{base}.embedding_table.weight"
+                    if f"{base}.embedding_table.weight" in sd
+                    else f"{base}._projection.weight"
+                )
+                return (key, _identity)
+        if top == "_label_projection":
+            return ("_label_projection.weight", _identity)
+        if top == "initial_conv":
+            return ("_initial_convolution.weight", _conv2d)
+        if top == "final_norm":
+            return (_leaf_name("final_projection.0", leaf), _identity)
+        if top == "final_conv":
+            return ("final_projection.2.weight", _conv2d)
+
+        m = _EFF_DOWN_RE.match(top)
+        base = None
+        if m:
+            base = f"downs.{m.group(1)}"
+        else:
+            m = _EFF_UP_RE.match(top)
+            if m:
+                base = f"ups.{n_levels - 1 - int(m.group(1))}"
+        if base is None:
+            return None
+        child = path[1]
+        if child == "down_conv":
+            return (
+                _leaf_name(f"{base}._downsampling_convolution", leaf), _conv2d
+                if leaf == "kernel" else _identity,
+            )
+        if child == "up_conv":
+            return (
+                _leaf_name(f"{base}._upsample.conv", leaf),
+                _conv2d if leaf == "kernel" else _identity,
+            )
+        if child == "emb_proj":
+            return (
+                _leaf_name(f"{base}._embedding_layers.1", leaf),
+                _dense if leaf == "kernel" else _identity,
+            )
+        rm = _EFF_RES_RE.match(child)
+        if rm:
+            sub = _RES_TABLE[path[2]]
+            key = f"{base}._resnet_blocks.{rm.group(1)}.{sub}"
+            if leaf == "kernel":
+                return (f"{key}.weight", _conv2d)
+            return (_leaf_name(key, leaf), _identity)
+        if child == "attn":
+            abase = f"{base}._attention"
+            sub = path[2]
+            if sub == "norm":
+                return (_leaf_name(f"{abase}._norm", leaf), _identity)
+            if sub in ("qkv", "encoder_kv"):
+                parts = 3 if sub == "qkv" else 2
+
+                def tf(w, parts=parts):
+                    c = w.shape[0] // parts
+                    return _qkv_deinterleave(parts, attn_heads(c))(w)
+
+                return (_leaf_name(f"{abase}._{sub}", leaf), tf)
+            if sub == "proj_out":
+                if leaf == "kernel":
+                    return (f"{abase}._proj_out.weight", _conv1d_dense)
+                return (f"{abase}._proj_out.bias", _identity)
+            if sub == "context_norm":
+                # ChanLayerNorm: gain-only param `g` of shape (C, 1).
+                return (
+                    f"{abase}._context_layer_norm.g",
+                    lambda w: w.reshape(-1),
+                )
+        return None
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
 # -- dispatch ----------------------------------------------------------------
 
 
@@ -1215,6 +1336,17 @@ def import_score_network_params(
     """Import `sd` into `flax_params` for the score network named by
     `config.diffusion.score_network.target` (reference dotted path)."""
     target = config.diffusion.score_network.target
+    if target.endswith("efficient_unet.Unet"):
+        p = config.diffusion.score_network.params
+        layer = p.conditioning.context_transformer_layer.get("params", {})
+        return import_efficient_unet_params(
+            flax_params,
+            sd,
+            heads=int(layer.get("heads", 8)),
+            dim_head=int(layer.get("dim_head", 64)),
+            n_levels=len(list(p.channel_multipliers)),
+            strict=strict,
+        )
     if target.endswith("unet_3d.Unet"):
         cond = config.diffusion.score_network.params.conditioning
         p = cond.spatial_context_transformer_layer.get("params", {})

@@ -78,7 +78,12 @@ class SpatialCrossAttention(nn.Module):
                 enc = context.get(self.context_key, context.get("context_embedding"))
             assert enc is not None, "cross-attention needs a context sequence"
             if self.context_layer_norm:
-                enc = nn.LayerNorm(dtype=self.dtype, name="context_norm")(enc)
+                # Reference ChanLayerNorm: gain-only (no bias), eps 1e-5
+                # (layers/attention.py:286-310) over the channel axis.
+                enc = nn.LayerNorm(
+                    use_bias=False, epsilon=1e-5, dtype=self.dtype,
+                    name="context_norm",
+                )(enc)
             enc_kv = nn.Dense(2 * c, dtype=self.dtype, name="encoder_kv")(enc)
             ek, ev = jnp.split(enc_kv, 2, axis=-1)
             k = jnp.concatenate([ek, k], axis=1)

@@ -151,8 +151,11 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, context: Dict = None, **kwargs) -> jax.Array:
         if self.with_conv:
+            # torch Conv2d(stride=2, padding=1) symmetric padding (flax
+            # 'SAME' at stride 2 pads (0,1) and shifts the grid).
             return nn.Conv(
-                self.channels, (3, 3), strides=(2, 2), dtype=self.dtype, name="conv"
+                self.channels, (3, 3), strides=(2, 2),
+                padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv",
             )(x)
         return avg_pool_2x(x)
 

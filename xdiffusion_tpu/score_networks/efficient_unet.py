@@ -73,7 +73,12 @@ class DBlock(nn.Module):
     def __call__(self, x, context: Dict, deterministic: bool = True):
         c_in = x.shape[-1]
         if self.downsample:
-            x = nn.Conv(c_in, (3, 3), strides=(2, 2), name="down_conv")(x)
+            # torch Conv2d(stride=2, padding=1) pads symmetrically; flax
+            # 'SAME' would pad (0,1) and shift the sampling grid.
+            x = nn.Conv(
+                c_in, (3, 3), strides=(2, 2),
+                padding=((1, 1), (1, 1)), name="down_conv",
+            )(x)
 
         emb = context["timestep_embedding"]
         if "class_embedding" in context:
