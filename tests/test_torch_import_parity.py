@@ -1005,6 +1005,141 @@ def test_efficient_unet_forward_matches_reference():
     np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
 
 
+def test_wideformer_forward_matches_reference():
+    """WideFormer golden parity (reference score_networks/wideformer.py:
+    18-209, shipped without a config — fixture config): width x depth
+    flux double-stream blocks whose per-layer outputs concatenate
+    feature-wise and re-view as a (width*L)-token sequence, compressed
+    back by Conv1d token mixers sliding over the feature axis."""
+    import os
+
+    import torch
+
+    config = os.path.join(
+        os.path.dirname(__file__), "fixtures", "wideformer_parity.yaml"
+    )
+    torch.manual_seed(0)
+    net, _ = _ref_net(config)
+    sd = randomize_zero_init(net.state_dict())
+    net.load_state_dict(sd)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.importers.torch_state_dict import (
+        import_wideformer_params,
+    )
+    from xdiffusion_tpu.score_networks.wideformer import WideFormer
+
+    cfg = load_yaml(config)
+    p = cfg.diffusion.score_network.params
+    ours = WideFormer(config=p)
+
+    rng = np.random.default_rng(73)
+    patch = int(p.patch_size)
+    c = int(p.in_channels) // (patch * patch)
+    x = rng.standard_normal((2, c, 32, 32), dtype=np.float32)
+    t = np.array([0.37, 0.66], dtype=np.float32)
+    t5 = rng.standard_normal((2, 7, int(p.context_in_dim)), dtype=np.float32)
+    clip = rng.standard_normal((2, int(p.vec_in_dim)), dtype=np.float32)
+
+    ctx = {
+        "timestep": jnp.asarray(t),
+        "t5_text_embeddings": jnp.asarray(t5),
+        "clip_text_embeddings": jnp.asarray(clip),
+    }
+    x_ours = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    params = ours.init(jax.random.PRNGKey(0), x_ours, ctx)
+    params = import_wideformer_params(
+        params, {k: v.detach().numpy() for k, v in sd.items()}
+    )
+
+    with torch.no_grad():
+        ref_out = net(
+            torch.from_numpy(x),
+            {
+                "timestep": torch.from_numpy(t),
+                "t5_text_embeddings": torch.from_numpy(t5),
+                "clip_text_embeddings": torch.from_numpy(clip),
+            },
+        )
+    if isinstance(ref_out, (tuple, list)):
+        ref_out = ref_out[0]
+    ref_out = ref_out.numpy()
+
+    with jax.default_matmul_precision("highest"):
+        our_out = ours.apply(params, x_ours, ctx)
+    if isinstance(our_out, (tuple, list)):
+        our_out = our_out[0]
+    our_out = np.transpose(np.asarray(our_out), (0, 3, 1, 2))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
+
+
+def test_chewie_forward_matches_reference():
+    """Chewie golden parity (reference score_networks/chewie.py:38-182 +
+    layers/chewie.py) on the shipped chewie.yaml: PoolFormer token-mixing
+    double-stream blocks (RoPE-rotated merged tokens, count-exclude-pad
+    average pooling minus identity) in the Flux skeleton."""
+    import torch
+
+    config = f"{CONFIGS}/chewie.yaml"
+    torch.manual_seed(0)
+    net, _ = _ref_net(config)
+    sd = randomize_zero_init(net.state_dict())
+    net.load_state_dict(sd)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.importers.torch_state_dict import import_chewie_params
+    from xdiffusion_tpu.score_networks.chewie import Chewie
+
+    cfg = load_yaml(config)
+    p = cfg.diffusion.score_network.params
+    ours = Chewie(config=p)
+
+    rng = np.random.default_rng(79)
+    patch = int(p.patch_size)
+    c = int(p.in_channels) // (patch * patch)
+    x = rng.standard_normal((2, c, 32, 32), dtype=np.float32)
+    t = np.array([0.19, 0.58], dtype=np.float32)
+    t5 = rng.standard_normal((2, 7, int(p.context_in_dim)), dtype=np.float32)
+    clip = rng.standard_normal((2, int(p.vec_in_dim)), dtype=np.float32)
+
+    ctx = {
+        "timestep": jnp.asarray(t),
+        "t5_text_embeddings": jnp.asarray(t5),
+        "clip_text_embeddings": jnp.asarray(clip),
+    }
+    x_ours = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    params = ours.init(jax.random.PRNGKey(0), x_ours, ctx)
+    params = import_chewie_params(
+        params, {k: v.detach().numpy() for k, v in sd.items()}
+    )
+
+    with torch.no_grad():
+        ref_out = net(
+            torch.from_numpy(x),
+            {
+                "timestep": torch.from_numpy(t),
+                "t5_text_embeddings": torch.from_numpy(t5),
+                "clip_text_embeddings": torch.from_numpy(clip),
+            },
+        )
+    if isinstance(ref_out, (tuple, list)):
+        ref_out = ref_out[0]
+    ref_out = ref_out.numpy()
+
+    with jax.default_matmul_precision("highest"):
+        our_out = ours.apply(params, x_ours, ctx)
+    if isinstance(our_out, (tuple, list)):
+        our_out = our_out[0]
+    our_out = np.transpose(np.asarray(our_out), (0, 3, 1, 2))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
+
+
 def test_bpe_token_ids_match_reference():
     """Token-level compatibility: our shipped GPT-2 BPE assets + encoder
     must produce the exact ids the reference tokenizer does

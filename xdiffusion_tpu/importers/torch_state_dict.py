@@ -950,6 +950,142 @@ def import_flux_params(
     return _apply_mapping(flax_params, sd, resolve, strict=strict)
 
 
+# -- Chewie (reference score_networks/chewie.py:38) --------------------------
+
+
+def import_chewie_params(
+    flax_params: Dict, sd: Dict[str, Array], *, strict: bool = True
+) -> Dict:
+    """Import a reference Chewie state_dict into our
+    `score_networks.chewie.Chewie` tree: PoolFormer double-stream blocks
+    (no qkv — modulations, per-stream projections and MLPs only) plus the
+    Flux skeleton."""
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+        tf = _dense if leaf == "kernel" else _identity
+
+        if top in ("img_in", "txt_in"):
+            return (_leaf_name(top, leaf), tf)
+        if top in ("time_in", "vector_in", "guidance_in"):
+            sub = {"in_layer": f"{top}.in_layer", "out_layer": f"{top}.out_layer"}
+            return (_leaf_name(sub[path[1]], leaf), tf)
+        if top == "final":
+            if path[1] == "mod":
+                return (_leaf_name("final_layer.adaLN_modulation.1", leaf), tf)
+            if path[1] == "proj":
+                return (_leaf_name("final_layer.linear", leaf), tf)
+
+        m = _HY_DOUBLE_RE.match(top)
+        if m:
+            base = f"double_blocks.{m.group(1)}"
+            child = path[1]
+            if child in ("img_mod", "txt_mod"):
+                return (_leaf_name(f"{base}.{child}.lin", leaf), tf)
+            lin = {
+                "img_proj": f"{base}.img_proj",
+                "img_mlp1": f"{base}.img_mlp.0",
+                "img_mlp2": f"{base}.img_mlp.2",
+                "txt_proj": f"{base}.txt_proj",
+                "txt_mlp1": f"{base}.txt_mlp.0",
+                "txt_mlp2": f"{base}.txt_mlp.2",
+            }
+            if child in lin:
+                return (_leaf_name(lin[child], leaf), tf)
+        m = _HY_SINGLE_RE.match(top)
+        if m:
+            base = f"single_blocks.{m.group(1)}"
+            child = path[1]
+            if child == "modulation":
+                return (_leaf_name(f"{base}.modulation.lin", leaf), tf)
+            if child == "q_norm":
+                return (f"{base}.norm.query_norm.scale", _identity)
+            if child == "k_norm":
+                return (f"{base}.norm.key_norm.scale", _identity)
+            if child in ("linear1", "linear2"):
+                return (_leaf_name(f"{base}.{child}", leaf), tf)
+        return None
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
+# -- WideFormer (reference score_networks/wideformer.py:55) ------------------
+
+_WF_BLOCK_RE = re.compile(r"^layer(\d+)_block(\d+)$")
+
+
+def import_wideformer_params(
+    flax_params: Dict, sd: Dict[str, Array], *, strict: bool = True
+) -> Dict:
+    """Import a reference WideFormer state_dict into our
+    `score_networks.wideformer.WideFormer` tree: width x depth flux
+    double-stream blocks + Conv1d token mixers."""
+
+    def _double_block(base: str, path: Tuple[str, ...], leaf: str):
+        """Map one flux DoubleStreamBlock child (shared with
+        import_flux_params' table)."""
+        tf = _dense if leaf == "kernel" else _identity
+        child = path[0]
+        if child in ("img_mod", "txt_mod"):
+            return (_leaf_name(f"{base}.{child}.lin", leaf), tf)
+        norms = {
+            "img_q_norm": f"{base}.img_attn.norm.query_norm.scale",
+            "img_k_norm": f"{base}.img_attn.norm.key_norm.scale",
+            "txt_q_norm": f"{base}.txt_attn.norm.query_norm.scale",
+            "txt_k_norm": f"{base}.txt_attn.norm.key_norm.scale",
+        }
+        if child in norms:
+            return (norms[child], _identity)
+        lin = {
+            "img_qkv": f"{base}.img_attn.qkv",
+            "img_proj": f"{base}.img_attn.proj",
+            "img_mlp1": f"{base}.img_mlp.0",
+            "img_mlp2": f"{base}.img_mlp.2",
+            "txt_qkv": f"{base}.txt_attn.qkv",
+            "txt_proj": f"{base}.txt_attn.proj",
+            "txt_mlp1": f"{base}.txt_mlp.0",
+            "txt_mlp2": f"{base}.txt_mlp.2",
+        }
+        if child in lin:
+            return (_leaf_name(lin[child], leaf), tf)
+        return None
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+        tf = _dense if leaf == "kernel" else _identity
+
+        if top in ("img_in", "txt_in"):
+            return (_leaf_name(top, leaf), tf)
+        if top in ("time_in", "vector_in", "guidance_in"):
+            sub = {"in_layer": f"{top}.in_layer", "out_layer": f"{top}.out_layer"}
+            return (_leaf_name(sub[path[1]], leaf), tf)
+        if top == "final":
+            if path[1] == "mod":
+                return (_leaf_name("final_layer.adaLN_modulation.1", leaf), tf)
+            if path[1] == "proj":
+                return (_leaf_name("final_layer.linear", leaf), tf)
+
+        m = _WF_BLOCK_RE.match(top)
+        base = None
+        if m:
+            base = f"transformer_channels.{m.group(1)}.{m.group(2)}"
+        elif top == "final_block":
+            base = "transformer_final"
+        if base is None:
+            return None
+        if path[1] == "token_mixer":
+            if leaf == "kernel":
+                # torch Conv1d (O, I, 3) -> flax (3, I, O)
+                return (f"{base}._token_mixer.weight",
+                        lambda w: w.transpose(2, 1, 0))
+            return (f"{base}._token_mixer.bias", _identity)
+        if path[1] == "block":
+            return _double_block(f"{base}._transformer_block", path[2:], leaf)
+        return None
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
 # -- HunyuanVideo (reference score_networks/hunyuan_video.py:404) ------------
 
 _HY_DOUBLE_RE = re.compile(r"^double_(\d+)$")
@@ -1379,6 +1515,10 @@ def import_score_network_params(
         return import_sora_params(flax_params, sd, strict=strict)
     if target.endswith("flux.Flux"):
         return import_flux_params(flax_params, sd, strict=strict)
+    if target.endswith("chewie.Chewie"):
+        return import_chewie_params(flax_params, sd, strict=strict)
+    if target.endswith(".WideFormer"):
+        return import_wideformer_params(flax_params, sd, strict=strict)
     if target.endswith(".SanaScoreNetwork"):
         return import_sana_params(flax_params, sd, strict=strict)
     if target.endswith(".AuraFlow"):

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xdiffusion_tpu.layers.embedding import sinusoidal_embedding
+from xdiffusion_tpu.layers.embedding import glide_timestep_embedding
 from xdiffusion_tpu.layers.flux import (
     DoubleStreamBlock,
     LastLayer,
@@ -147,7 +147,10 @@ class WideFormer(nn.Module):
 
         timesteps = context["timestep"].astype(jnp.float32)
         img = self._img_in(img)
-        vec = self._time_in(sinusoidal_embedding(timesteps, 256, max_time=1.0))
+        # Flux timestep features: cos-first glide sinusoid of 1000*t.
+        vec = self._time_in(
+            glide_timestep_embedding(timesteps, 256, scale=1000.0)
+        )
         vec = vec + self._vector_in(y)
         txt = self._txt_in(txt)
 
