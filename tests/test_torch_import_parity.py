@@ -1140,6 +1140,69 @@ def test_chewie_forward_matches_reference():
     np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
 
 
+def test_make_a_video_pseudo3d_forward_matches_reference():
+    """Make-A-Video pseudo-3D UNet golden parity (reference
+    score_networks/unet_pseudo3d.py:27-329, layers/resnet_3d.py:257-472)
+    on an offline fixture: per-conv dirac pointwise temporal mixers,
+    per-frame GroupNorm stats, fused spatial+temporal attention with
+    text cross-attention and rel-pos temporal kernel."""
+    import os
+
+    import torch
+
+    config = os.path.join(
+        os.path.dirname(__file__), "fixtures", "make_a_video_parity.yaml"
+    )
+    torch.manual_seed(0)
+    net, _ = _ref_net(config)
+    sd = randomize_zero_init(net.state_dict())
+    net.load_state_dict(sd)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.importers import import_score_network_params
+    from xdiffusion_tpu.score_networks.unet_pseudo3d import Unet
+
+    cfg = load_yaml(config)
+    ours = Unet(config=cfg.diffusion.score_network.params)
+
+    rng = np.random.default_rng(83)
+    x = rng.standard_normal((1, 1, 4, 16, 16), dtype=np.float32)  # BCFHW
+    logsnr = np.array([0.9], dtype=np.float32)
+    tokens = rng.integers(0, 50, size=(1, 6))
+
+    x_ours = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))
+    ctx = {
+        "logsnr_t": jnp.asarray(logsnr),
+        "text_tokens": jnp.asarray(tokens, jnp.int32),
+    }
+    params = ours.init(jax.random.PRNGKey(0), x_ours, ctx)
+    params = import_score_network_params(cfg, params, {
+        k: v.detach().numpy() for k, v in sd.items()
+    })
+
+    with torch.no_grad():
+        ref_out = net(
+            torch.from_numpy(x),
+            {
+                "logsnr_t": torch.from_numpy(logsnr),
+                "text_tokens": torch.from_numpy(tokens),
+            },
+        )
+    if isinstance(ref_out, (tuple, list)):
+        ref_out = ref_out[0]
+    ref_out = ref_out.numpy()
+
+    with jax.default_matmul_precision("highest"):
+        our_out = ours.apply(params, x_ours, ctx)
+    if isinstance(our_out, (tuple, list)):
+        our_out = our_out[0]
+    our_out = np.transpose(np.asarray(our_out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
+
+
 def test_bpe_token_ids_match_reference():
     """Token-level compatibility: our shipped GPT-2 BPE assets + encoder
     must produce the exact ids the reference tokenizer does
@@ -1242,3 +1305,131 @@ def test_kv_compress_attention_matches_reference(sampling, sr):
         ref_out = ref(torch.from_numpy(x), HW=(H, W)).numpy()
     our_out = np.asarray(ours.apply(params, jnp.asarray(x), (H, W)))
     np.testing.assert_allclose(our_out, ref_out, atol=1e-4)
+
+
+def test_pixart_dyt_forward_matches_reference():
+    """PixArt-DyT golden parity (reference score_networks/dyt.py:25-126):
+    identical to PixArt-alpha except every LayerNorm is an affine
+    DynamicTanh (tanh(alpha*x)*gamma+beta) at norm1/norm2/norm_final —
+    identical imported weights, including the DyT alpha/gamma/beta."""
+    import os
+
+    import torch
+
+    config = os.path.join(
+        os.path.dirname(__file__), "fixtures", "dyt_parity.yaml"
+    )
+    torch.manual_seed(0)
+    net, _ = _ref_net(config)
+    sd = randomize_zero_init(net.state_dict())
+    net.load_state_dict(sd)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.importers.torch_state_dict import import_pixart_params
+    from xdiffusion_tpu.score_networks.dyt import DyTScoreNetwork
+
+    cfg = load_yaml(config)
+    ours = DyTScoreNetwork(config=cfg.diffusion.score_network.params)
+
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal((2, 1, 32, 32), dtype=np.float32)
+    t = np.array([17, 501], dtype=np.int64)
+    classes = np.array([4, 9], dtype=np.int64)
+    tokens = rng.integers(0, 50, size=(2, 7))
+
+    ctx = {
+        "timestep": jnp.asarray(t, jnp.int32),
+        "classes": jnp.asarray(classes, jnp.int32),
+        "text_tokens": jnp.asarray(tokens, jnp.int32),
+    }
+    x_ours = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    params = ours.init(jax.random.PRNGKey(0), x_ours, ctx)
+    # The DyT norms must actually be in the tree (not LayerNorm).
+    flat_keys = str(jax.tree_util.tree_structure(params))
+    assert "alpha" in flat_keys, "DyT norms missing from the param tree"
+    params = import_pixart_params(
+        params, {k: v.detach().numpy() for k, v in sd.items()}
+    )
+
+    with torch.no_grad():
+        ref_out = net(
+            torch.from_numpy(x),
+            {
+                "timestep": torch.from_numpy(t),
+                "classes": torch.from_numpy(classes),
+                "text_tokens": torch.from_numpy(tokens),
+            },
+        ).numpy()
+
+    our_out = ours.apply(params, x_ours, ctx)
+    our_out = np.transpose(np.asarray(our_out), (0, 3, 1, 2))
+    np.testing.assert_allclose(our_out, ref_out, atol=2e-4, rtol=2e-3)
+
+
+def test_flux_dyt_forward_matches_reference():
+    """Flux-DyT golden parity (reference score_networks/flux_dyt.py +
+    layers/flux_dyt.py): Flux with every LayerNorm AND the per-head
+    qk RMSNorms replaced by affine DynamicTanh — identical imported
+    weights on the shipped flux_dyt.yaml."""
+    import torch
+
+    config = f"{CONFIGS}/flux_dyt.yaml"
+    torch.manual_seed(0)
+    net, _ = _ref_net(config)
+    sd = randomize_zero_init(net.state_dict())
+    net.load_state_dict(sd)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.importers.torch_state_dict import import_flux_params
+    from xdiffusion_tpu.score_networks.flux_dyt import Flux
+
+    cfg = load_yaml(config)
+    p = cfg.diffusion.score_network.params
+    ours = Flux(config=p)
+
+    rng = np.random.default_rng(67)
+    patch = int(p.patch_size)
+    c = int(p.in_channels) // (patch * patch)
+    x = rng.standard_normal((2, c, 32, 32), dtype=np.float32)
+    t = np.array([0.41, 0.77], dtype=np.float32)
+    t5 = rng.standard_normal((2, 9, int(p.context_in_dim)), dtype=np.float32)
+    clip = rng.standard_normal((2, int(p.vec_in_dim)), dtype=np.float32)
+
+    ctx = {
+        "timestep": jnp.asarray(t),
+        "t5_text_embeddings": jnp.asarray(t5),
+        "clip_text_embeddings": jnp.asarray(clip),
+    }
+    x_ours = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    params = ours.init(jax.random.PRNGKey(0), x_ours, ctx)
+    flat_keys = str(jax.tree_util.tree_structure(params))
+    assert "alpha" in flat_keys, "DyT norms missing from the param tree"
+    params = import_flux_params(
+        params, {k: v.detach().numpy() for k, v in sd.items()}
+    )
+
+    with torch.no_grad():
+        ref_out = net(
+            torch.from_numpy(x),
+            {
+                "timestep": torch.from_numpy(t),
+                "t5_text_embeddings": torch.from_numpy(t5),
+                "clip_text_embeddings": torch.from_numpy(clip),
+            },
+        )
+    if isinstance(ref_out, (tuple, list)):
+        ref_out = ref_out[0]
+    ref_out = ref_out.numpy()
+
+    with jax.default_matmul_precision("highest"):
+        our_out = ours.apply(params, x_ours, ctx)
+    if isinstance(our_out, (tuple, list)):
+        our_out = our_out[0]
+    our_out = np.transpose(np.asarray(our_out), (0, 3, 1, 2))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)

@@ -48,16 +48,15 @@ def test_video_unet_variants_forward(target, identity_at_init):
 
 
 def test_pseudo3d_temporal_conv_identity_init():
-    # The temporal convs start as the identity: the pseudo-3D net at init
-    # must match the plain factorized net at init given the same params
-    # subset... simpler invariant: a constant-in-time input stays constant
-    # in time through the temporal conv.
-    from xdiffusion_tpu.score_networks.unet_pseudo3d import TemporalConv1D
+    # The pointwise temporal mixers start as the identity (torch dirac_
+    # on a kernel-1 Conv1d): the pseudo-3D net at init behaves exactly
+    # like its 2D image counterpart (image -> video weight transfer).
+    from xdiffusion_tpu.score_networks.unet_pseudo3d import _temporal_mix
 
-    conv = TemporalConv1D()
+    mix = _temporal_mix(8, "t")
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 4, 8))
-    params = conv.init(jax.random.PRNGKey(1), x)
-    out = conv.apply(params, x)
+    params = mix.init(jax.random.PRNGKey(1), x)
+    out = mix.apply(params, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
 
 

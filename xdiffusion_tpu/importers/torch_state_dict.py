@@ -62,6 +62,13 @@ def _conv1d_dense(w: Array) -> Array:
     return w[:, :, 0].T
 
 
+def _dyt_resolve(torch_base: str, leaf: str):
+    """DynamicTanhNorm leaves (reference layers/norm.py:219-230):
+    alpha is torch shape (1,) vs our scalar (); gamma/beta map 1:1."""
+    tf = (lambda w: w.reshape(())) if leaf == "alpha" else _identity
+    return (f"{torch_base}.{leaf}", tf)
+
+
 def _identity(w: Array) -> Array:
     return w
 
@@ -580,6 +587,9 @@ def import_pixart_params(
             return (_leaf_name("t_block.1", leaf), _dense if leaf == "kernel" else _identity)
         if top == "final_scale_shift_table":
             return ("final_layer.scale_shift_table", _identity)
+        if top == "final_norm":
+            # DyT variant only (reference dyt.py:110 DyTFinalLayer).
+            return _dyt_resolve("final_layer.norm_final", leaf)
         if top == "final_proj":
             return (_leaf_name("final_layer.linear", leaf), _dense if leaf == "kernel" else _identity)
 
@@ -590,6 +600,10 @@ def import_pixart_params(
             tf = _dense if leaf == "kernel" else _identity
             if child == "scale_shift_table" or leaf == "scale_shift_table":
                 return (f"{base}.scale_shift_table", _identity)
+            if child in ("norm1", "norm2"):
+                # DyT variant only (reference dyt.py:44,57 — the vanilla
+                # PixArt norms are parameterless LayerNorms).
+                return _dyt_resolve(f"{base}.{child}", leaf)
             if child == "attn":
                 return (_leaf_name(f"{base}.attn.{path[2]}", leaf), tf)
             if child == "cross_attn":
@@ -741,6 +755,135 @@ def import_sd3_params(
             }
             if child in ff:
                 return (_leaf_name(ff[child], leaf), tf)
+        return None
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
+# -- Make-A-Video pseudo-3D UNet (reference unet_pseudo3d.py:27) -------------
+
+_PSEUDO3D_RES = {
+    "norm1": ("in_layers.0", None),
+    "conv1": ("in_layers.2", _conv2d),
+    "t_conv1": ("in_layers_temporal", _conv1d_dense),
+    "emb_proj": ("emb_layers.1", _dense),
+    "norm2": ("out_layers.0", None),
+    "conv2": ("out_layers.3", _conv2d),
+    "t_conv2": ("out_layers_temporal", _conv1d_dense),
+    "skip": ("skip_connection", _conv2d),
+    "t_skip": ("skip_connection_temporal", _conv1d_dense),
+}
+
+
+def import_unet_pseudo3d_params(
+    flax_params: Dict,
+    sd: Dict[str, Array],
+    *,
+    heads: int = 8,
+    dim_head: int = 64,
+    strict: bool = True,
+) -> Dict:
+    """Import a reference Make-A-Video pseudo-3D UNet state_dict
+    (score_networks/unet_pseudo3d.py:27) into our
+    `score_networks.unet_pseudo3d.Unet` tree: per-conv pointwise
+    temporal mixers (Conv1d k=1 -> Dense) and fused spatial+temporal
+    attention sites."""
+
+    def attn_heads(channels: int) -> int:
+        return heads if dim_head == -1 else channels // dim_head
+
+    def qkv_tf(parts):
+        def tf(w, parts=parts):
+            c = w.shape[0] // parts
+            return _qkv_deinterleave(parts, attn_heads(c))(w)
+
+        return tf
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+
+        m = _PROJ_RE.match(top)
+        if m:
+            name = m.group(1)
+            base = f"_projections.{name}"
+            if path[1] == "fc1":
+                return (_leaf_name(f"{base}._projection.1", leaf), _dense)
+            if path[1] == "fc2":
+                return (_leaf_name(f"{base}._projection.3", leaf), _dense)
+            if path[1] in ("embed", "table"):
+                key = (
+                    f"{base}.embedding_table.weight"
+                    if f"{base}.embedding_table.weight" in sd
+                    else f"{base}._projection.weight"
+                )
+                return (key, _identity)
+        if top == "_label_projection":
+            return ("_label_projection.weight", _identity)
+        if top == "initial_conv":
+            return ("_initial_convolution.weight", _conv2d)
+        if top == "initial_temporal":
+            return ("_initial_temporal_convolution.weight", _conv1d_dense)
+        if top == "final_norm":
+            return (_leaf_name("final_projection.0", leaf), _identity)
+        if top == "final_conv":
+            return ("final_projection.2.weight", _conv2d)
+        if top == "final_temporal":
+            return ("final_projection_temporal.weight", _conv1d_dense)
+
+        m = _STAGE_RE.match(top) or _MIDDLE_RE.match(top)
+        if m is None:
+            return None
+        if m.re is _MIDDLE_RE:
+            base = f"middle.{m.group(1)}"
+            pyramid = "middle"
+        else:
+            pyramid, i, j = m.group(1), m.group(2), m.group(3)
+            base = f"{pyramid}.{i}.{j}"
+        child = path[1]
+
+        if child in _PSEUDO3D_RES:
+            suffix, tf = _PSEUDO3D_RES[child]
+            if leaf in ("scale", "bias") and tf is None:
+                return (_leaf_name(f"{base}.{suffix}", leaf), _identity)
+            if leaf == "kernel":
+                return (f"{base}.{suffix}.weight", tf)
+            return (f"{base}.{suffix}.bias", _identity)
+        if child == "spatial":
+            sub = path[2]
+            if sub == "norm":
+                return (_leaf_name(f"{base}._norm", leaf), _identity)
+            if sub == "qkv":
+                return (_leaf_name(f"{base}._qkv", leaf), qkv_tf(3))
+            if sub == "encoder_kv":
+                return (_leaf_name(f"{base}._encoder_kv", leaf), qkv_tf(2))
+            if sub == "proj_out":
+                if leaf == "kernel":
+                    return (f"{base}._proj_out.weight", _conv1d_dense)
+                return (f"{base}._proj_out.bias", _identity)
+            if sub == "context_norm":
+                return (f"{base}._context_layer_norm.g",
+                        lambda w: w.reshape(-1))
+        if child == "temporal":
+            sub = path[2]
+            if sub == "norm":
+                return (_leaf_name(f"{base}._norm_temporal", leaf), _identity)
+            if sub == "qkv":
+                return (_leaf_name(f"{base}._qkv_temporal", leaf), qkv_tf(3))
+            if sub == "proj_out":
+                if leaf == "kernel":
+                    return (f"{base}._proj_out_temporal.weight", _conv1d_dense)
+                return (f"{base}._proj_out_temporal.bias", _identity)
+            if sub in ("rel_k_embeddings", "rel_v_embeddings"):
+                which = "k" if sub == "rel_k_embeddings" else "v"
+                return (
+                    f"{base}._attention_temporal._{which}_embeddings_table",
+                    _identity,
+                )
+        if child == "conv":
+            op = "op" if pyramid == "downs" else "conv"
+            if leaf == "kernel":
+                return (f"{base}.{op}.weight", _conv3d_spatial)
+            return (f"{base}.{op}.bias", _identity)
         return None
 
     return _apply_mapping(flax_params, sd, resolve, strict=strict)
@@ -906,6 +1049,9 @@ def import_flux_params(
                 return (_leaf_name("final_layer.adaLN_modulation.1", leaf), tf)
             if path[1] == "proj":
                 return (_leaf_name("final_layer.linear", leaf), tf)
+            if path[1] == "norm":
+                # DyT variant only (reference layers/flux_dyt.py:318).
+                return _dyt_resolve("final_layer.norm_final", leaf)
 
         m = _HY_DOUBLE_RE.match(top)
         if m:
@@ -913,14 +1059,20 @@ def import_flux_params(
             child = path[1]
             if child in ("img_mod", "txt_mod"):
                 return (_leaf_name(f"{base}.{child}.lin", leaf), tf)
-            norms = {
-                "img_q_norm": f"{base}.img_attn.norm.query_norm.scale",
-                "img_k_norm": f"{base}.img_attn.norm.key_norm.scale",
-                "txt_q_norm": f"{base}.txt_attn.norm.query_norm.scale",
-                "txt_k_norm": f"{base}.txt_attn.norm.key_norm.scale",
+            qk = {
+                "img_q_norm": f"{base}.img_attn.norm.query_norm",
+                "img_k_norm": f"{base}.img_attn.norm.key_norm",
+                "txt_q_norm": f"{base}.txt_attn.norm.query_norm",
+                "txt_k_norm": f"{base}.txt_attn.norm.key_norm",
             }
-            if child in norms:
-                return (norms[child], _identity)
+            if child in qk:
+                if leaf == "scale":  # vanilla Flux RMSNorm
+                    return (f"{qk[child]}.scale", _identity)
+                return _dyt_resolve(qk[child], leaf)  # flux_dyt
+            if child in ("img_norm1", "img_norm2", "txt_norm1", "txt_norm2"):
+                # DyT variant only (reference layers/flux_dyt.py:163-181;
+                # vanilla Flux block norms are parameterless LayerNorms).
+                return _dyt_resolve(f"{base}.{child}", leaf)
             lin = {
                 "img_qkv": f"{base}.img_attn.qkv",
                 "img_proj": f"{base}.img_attn.proj",
@@ -939,10 +1091,14 @@ def import_flux_params(
             child = path[1]
             if child == "modulation":
                 return (_leaf_name(f"{base}.modulation.lin", leaf), tf)
-            if child == "q_norm":
-                return (f"{base}.norm.query_norm.scale", _identity)
-            if child == "k_norm":
-                return (f"{base}.norm.key_norm.scale", _identity)
+            if child in ("q_norm", "k_norm"):
+                which = "query_norm" if child == "q_norm" else "key_norm"
+                if leaf == "scale":  # vanilla Flux RMSNorm
+                    return (f"{base}.norm.{which}.scale", _identity)
+                return _dyt_resolve(f"{base}.norm.{which}", leaf)  # flux_dyt
+            if child == "pre_norm":
+                # DyT variant only (reference layers/flux_dyt.py:282).
+                return _dyt_resolve(f"{base}.pre_norm", leaf)
             if child in ("linear1", "linear2"):
                 return (_leaf_name(f"{base}.{child}", leaf), tf)
         return None
@@ -1483,6 +1639,18 @@ def import_score_network_params(
             n_levels=len(list(p.channel_multipliers)),
             strict=strict,
         )
+    if target.endswith("unet_pseudo3d.Unet"):
+        cond = config.diffusion.score_network.params.conditioning
+        p = cond.spatial_and_temporal_context_transformer_layer.get(
+            "params", {}
+        )
+        return import_unet_pseudo3d_params(
+            flax_params,
+            sd,
+            heads=int(p.get("heads", 8)),
+            dim_head=int(p.get("dim_head", 64)),
+            strict=strict,
+        )
     if target.endswith("unet_3d.Unet"):
         cond = config.diffusion.score_network.params.conditioning
         p = cond.spatial_context_transformer_layer.get("params", {})
@@ -1505,7 +1673,7 @@ def import_score_network_params(
         )
     if target.endswith(".DiT"):
         return import_dit_params(flax_params, sd, strict=strict)
-    if target.endswith(".PixArtAlpha"):
+    if target.endswith(".PixArtAlpha") or target.endswith(".DyTScoreNetwork"):
         return import_pixart_params(flax_params, sd, strict=strict)
     if target.endswith(".SD3Transformer2DModel") or target.endswith(
         ".SD35Transformer2DModel"
@@ -1513,7 +1681,7 @@ def import_score_network_params(
         return import_sd3_params(flax_params, sd, strict=strict)
     if target.endswith("sora.Sora"):
         return import_sora_params(flax_params, sd, strict=strict)
-    if target.endswith("flux.Flux"):
+    if target.endswith("flux.Flux") or target.endswith("flux_dyt.Flux"):
         return import_flux_params(flax_params, sd, strict=strict)
     if target.endswith("chewie.Chewie"):
         return import_chewie_params(flax_params, sd, strict=strict)

@@ -73,6 +73,14 @@ def _norm(norm_cls: str, dim: int, name: str):
     return nn.LayerNorm(use_bias=False, use_scale=False, name=name)
 
 
+def _qk_norm(norm_cls: str, dim: int, name: str):
+    """Per-head query/key norm: RMSNorm in vanilla Flux, DyT in flux_dyt
+    (reference layers/flux.py:100-101 vs layers/flux_dyt.py:100-101)."""
+    if norm_cls == "dyt":
+        return DynamicTanhNorm(dim=dim, name=name)
+    return RMSNorm(dim=dim, name=name)
+
+
 class Modulation(nn.Module):
     dim: int
     double: bool
@@ -120,8 +128,8 @@ class DoubleStreamBlock(nn.Module):
             3 * d, use_bias=self.qkv_bias, dtype=self.dtype, name="img_qkv"
         )(img_n)
         iq, ik, iv = (heads(t, n_img) for t in jnp.split(img_qkv, 3, axis=-1))
-        iq = RMSNorm(dim=hd, name="img_q_norm")(iq)
-        ik = RMSNorm(dim=hd, name="img_k_norm")(ik)
+        iq = _qk_norm(self.norm_cls, hd, "img_q_norm")(iq)
+        ik = _qk_norm(self.norm_cls, hd, "img_k_norm")(ik)
 
         txt_n = _norm(self.norm_cls, d, "txt_norm1")(txt)
         txt_n = txt_n * (1 + ts1[:, None]) + tm1[:, None]
@@ -129,8 +137,8 @@ class DoubleStreamBlock(nn.Module):
             3 * d, use_bias=self.qkv_bias, dtype=self.dtype, name="txt_qkv"
         )(txt_n)
         tq, tk, tv = (heads(t, n_txt) for t in jnp.split(txt_qkv, 3, axis=-1))
-        tq = RMSNorm(dim=hd, name="txt_q_norm")(tq)
-        tk = RMSNorm(dim=hd, name="txt_k_norm")(tk)
+        tq = _qk_norm(self.norm_cls, hd, "txt_q_norm")(tq)
+        tk = _qk_norm(self.norm_cls, hd, "txt_k_norm")(tk)
 
         q = jnp.concatenate([tq, iq], axis=2)
         k = jnp.concatenate([tk, ik], axis=2)
@@ -196,8 +204,8 @@ class SingleStreamBlock(nn.Module):
             t.reshape(b, n, self.num_heads, hd).transpose(0, 2, 1, 3)
             for t in jnp.split(qkv, 3, axis=-1)
         )
-        q = RMSNorm(dim=hd, name="q_norm")(q)
-        k = RMSNorm(dim=hd, name="k_norm")(k)
+        q = _qk_norm(self.norm_cls, hd, "q_norm")(q)
+        k = _qk_norm(self.norm_cls, hd, "k_norm")(k)
         attn = rope_attention(q, k, v, cos, sin)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, n, d)
 
