@@ -1203,6 +1203,51 @@ def test_make_a_video_pseudo3d_forward_matches_reference():
     np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
 
 
+def test_diffussm_forward_matches_reference():
+    """DiffuSSM golden parity (reference score_networks/diffussm.py:16-128,
+    layers/s4d.py:11-113, layers/sequence.py:20-145) on the shipped
+    full-size config: adaLN-modulated hourglass blocks around a
+    bidirectional S4D (two towers on the same input + fusion linear),
+    GLU output transforms, and the modulated-input residual quirk."""
+    import torch
+
+    torch.manual_seed(0)
+    net, _ = _ref_net(f"{CONFIGS}/diffussm.yaml")
+    sd = randomize_zero_init(net.state_dict())
+    net.load_state_dict(sd)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.importers import import_score_network_params
+    from xdiffusion_tpu.score_networks.diffussm import DiffusionSSM
+
+    cfg = load_yaml(f"{CONFIGS}/diffussm.yaml")
+    ours = DiffusionSSM(config=cfg.diffusion.score_network.params)
+
+    rng = np.random.default_rng(43)
+    x = rng.standard_normal((2, 1, 32, 32), dtype=np.float32)
+    t = np.array([17, 501], dtype=np.int64)
+
+    ctx = {"timestep": jnp.asarray(t, jnp.int32)}
+    x_ours = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    params = ours.init(jax.random.PRNGKey(0), x_ours, ctx)
+    params = import_score_network_params(cfg, params, {
+        k: v.detach().numpy() for k, v in sd.items()
+    })
+
+    with torch.no_grad():
+        ref_out = net(
+            torch.from_numpy(x), {"timestep": torch.from_numpy(t)}
+        ).numpy()
+
+    with jax.default_matmul_precision("highest"):
+        our_out = ours.apply(params, x_ours, ctx)
+    our_out = np.transpose(np.asarray(our_out), (0, 3, 1, 2))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
+
+
 def test_bpe_token_ids_match_reference():
     """Token-level compatibility: our shipped GPT-2 BPE assets + encoder
     must produce the exact ids the reference tokenizer does

@@ -153,7 +153,7 @@ def test_s4d_kernel_behaves_like_recurrence():
     # The FFT convolution must equal the explicit diagonal recurrence.
     from xdiffusion_tpu.layers.s4d import S4D
 
-    net = S4D(d_model=4, d_state=8, bidirectional=False)
+    net = S4D(d_model=4, d_state=8)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 12, 4))
     params = net.init(jax.random.PRNGKey(1), x)
     y = net.apply(params, x)

@@ -889,6 +889,99 @@ def import_unet_pseudo3d_params(
     return _apply_mapping(flax_params, sd, resolve, strict=strict)
 
 
+# -- DiffuSSM (reference score_networks/diffussm.py:16) ----------------------
+
+_DIFFUSSM_LAYER_RE = re.compile(r"^layer_(\d+)$")
+
+# Flax child name -> (torch suffix, MLPEmbedder?) within one block.
+_DIFFUSSM_MLP = {
+    "condition_embedder": "_condition_embedder",
+    "hourglass_mlp": "_hourglass.1",
+    "mlp_left": "_mlp_left",
+    "mlp_right": "_mlp_right",
+    "mlp_final": "_mlp_final",
+}
+_DIFFUSSM_SEQ_CONV = {
+    "hourglass_down": "_hourglass.0",
+    "hourglass_up": "_hourglass.2",
+    "down_left": "_downscale_left",
+    "down_right": "_downscale_right",
+    "upscale_final": "_upscale_final",
+}
+
+
+def import_diffussm_params(
+    flax_params: Dict,
+    sd: Dict[str, Array],
+    *,
+    strict: bool = True,
+) -> Dict:
+    """Import a reference DiffuSSM state_dict
+    (score_networks/diffussm.py:16-128, layers/s4d.py:11-113,
+    layers/sequence.py:20-145) into our `score_networks.diffussm.
+    DiffusionSSM` tree: sequence-axis k=1 Conv1d -> Dense, S4D kernel
+    parameters 1:1 (C keeps the torch view_as_real (H, N/2, 2) layout),
+    and the GLU output Conv1d -> Dense."""
+
+    def s4d_resolve(base: str, path: Tuple[str, ...], leaf: str):
+        # path like ("layer"|"reverse_layer", ...) under the ssm block.
+        tower = path[0]
+        if leaf in ("log_dt", "log_A_real", "A_imag", "C"):
+            return (f"{base}.{tower}.kernel.{leaf}", _identity)
+        if leaf == "D":
+            return (f"{base}.{tower}.D", _identity)
+        if path[1] == "out_proj":
+            if leaf == "kernel":
+                return (f"{base}.{tower}.output_linear.0.weight",
+                        _conv1d_dense)
+            return (f"{base}.{tower}.output_linear.0.bias", _identity)
+        return None
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+        if top == "input_proj":
+            return (_leaf_name("_input_proj", leaf), _dense)
+        if top == "output_proj":
+            return (_leaf_name("_output_proj", leaf), _dense)
+        m = _DIFFUSSM_LAYER_RE.match(top)
+        if m is None:
+            return None
+        base = f"_layers.{m.group(1)}"
+        child = path[1]
+        tf = _dense if leaf == "kernel" else _identity
+        if child == "modulation":
+            return (_leaf_name(f"{base}._input_modulation.lin", leaf), tf)
+        if child in _DIFFUSSM_MLP:
+            return (
+                _leaf_name(
+                    f"{base}.{_DIFFUSSM_MLP[child]}.{path[2]}", leaf
+                ),
+                tf,
+            )
+        if child in _DIFFUSSM_SEQ_CONV:
+            if leaf == "kernel":
+                return (f"{base}.{_DIFFUSSM_SEQ_CONV[child]}.weight",
+                        _conv1d_dense)
+            return (f"{base}.{_DIFFUSSM_SEQ_CONV[child]}.bias", _identity)
+        if child == "ssm":
+            sub = path[2]
+            if sub == "norm":
+                # Normalization wrapper around a LayerNorm
+                # (reference layers/utils.py:439-456).
+                return (_leaf_name(f"{base}._ssm.norm.norm", leaf),
+                        _identity)
+            if sub == "bidirectional_linear":
+                return (
+                    _leaf_name(f"{base}._ssm.bidirectional_linear", leaf),
+                    tf,
+                )
+            if sub in ("layer", "reverse_layer"):
+                return s4d_resolve(f"{base}._ssm", path[2:], leaf)
+        return None
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
 # -- Sora STDiT3 (reference score_networks/sora.py:182) ----------------------
 
 _SORA_BLOCK_RE = re.compile(r"^(spatial|temporal)_(\d+)$")
@@ -1651,6 +1744,8 @@ def import_score_network_params(
             dim_head=int(p.get("dim_head", 64)),
             strict=strict,
         )
+    if target.endswith("diffussm.DiffusionSSM"):
+        return import_diffussm_params(flax_params, sd, strict=strict)
     if target.endswith("unet_3d.Unet"):
         cond = config.diffusion.score_network.params.conditioning
         p = cond.spatial_context_transformer_layer.get("params", {})
