@@ -1203,6 +1203,98 @@ def test_make_a_video_pseudo3d_forward_matches_reference():
     np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
 
 
+def _video_wrapper_parity(fixture: str, net_cls, importer):
+    """Shared golden-parity driver for the AnimateDiff / Video-LDM
+    image-UNet wrappers (reference animate_diff.py:201, video_ldm.py:138):
+    per-frame spatial UNet + interleaved alpha-gated temporal modules."""
+    import os
+
+    import torch
+
+    config = os.path.join(os.path.dirname(__file__), "fixtures", fixture)
+    torch.manual_seed(0)
+    net, _ = _ref_net(config)
+    sd = randomize_zero_init(net.state_dict())
+    # The alpha gates start at exactly 1.0 (identity — would silence the
+    # whole temporal path in the comparison); move them off the clamp
+    # boundary.
+    for key, val in sd.items():
+        if key.endswith(".alpha"):
+            sd[key] = torch.full_like(val, 0.35)
+    net.load_state_dict(sd)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.config import load_yaml
+
+    cfg = load_yaml(config)
+    ours = net_cls(config=cfg.diffusion.score_network.params)
+
+    rng = np.random.default_rng(59)
+    x = rng.standard_normal((1, 1, 4, 16, 16), dtype=np.float32)  # BCFHW
+    logsnr = np.array([0.7], dtype=np.float32)
+    tokens = rng.integers(0, 50, size=(1, 6))
+
+    x_ours = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))
+    ctx = {
+        "logsnr_t": jnp.asarray(logsnr),
+        "text_tokens": jnp.asarray(tokens, jnp.int32),
+    }
+    params = ours.init(jax.random.PRNGKey(0), x_ours, ctx)
+    params = importer(cfg, params, {
+        k: v.detach().numpy() for k, v in sd.items()
+    })
+
+    with torch.no_grad():
+        ref_out = net(
+            torch.from_numpy(x),
+            {
+                "logsnr_t": torch.from_numpy(logsnr),
+                "text_tokens": torch.from_numpy(tokens),
+            },
+        )
+    if isinstance(ref_out, (tuple, list)):
+        ref_out = ref_out[0]
+    ref_out = ref_out.numpy()
+
+    with jax.default_matmul_precision("highest"):
+        our_out = ours.apply(params, x_ours, ctx)
+    if isinstance(our_out, (tuple, list)):
+        our_out = our_out[0]
+    our_out = np.transpose(np.asarray(our_out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
+
+
+def test_animate_diff_forward_matches_reference():
+    """AnimateDiff golden parity (reference score_networks/
+    animate_diff.py:22-431): interleaved TemporalTransformer motion
+    modules (alpha-gated temporal self-attention with interleaved sin/cos
+    frame codes, GEGLU FF) on the per-frame image UNet."""
+    from xdiffusion_tpu.importers import import_score_network_params
+    from xdiffusion_tpu.score_networks.animate_diff import AnimateDiffUnet
+
+    _video_wrapper_parity(
+        "animate_diff_parity.yaml", AnimateDiffUnet,
+        import_score_network_params,
+    )
+
+
+def test_video_ldm_forward_matches_reference():
+    """Video-LDM golden parity (reference score_networks/
+    video_ldm.py:20-342): Conv3DLayer temporal adapters after every
+    resnet + alpha-gated temporal attention (text cross-attn over
+    frames) after every spatial attention, on the per-frame image
+    UNet."""
+    from xdiffusion_tpu.importers import import_score_network_params
+    from xdiffusion_tpu.score_networks.video_ldm import VideoLDMUnet
+
+    _video_wrapper_parity(
+        "video_ldm_parity.yaml", VideoLDMUnet,
+        import_score_network_params,
+    )
+
+
 def test_diffussm_forward_matches_reference():
     """DiffuSSM golden parity (reference score_networks/diffussm.py:16-128,
     layers/s4d.py:11-113, layers/sequence.py:20-145) on the shipped

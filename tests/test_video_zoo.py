@@ -21,23 +21,101 @@ def _video_ctx(frames=4, batch=2):
     }
 
 
+def tiny_wrapper_params(frames=4):
+    """Nested score-network params for the image-UNet video wrappers
+    (reference animate_diff.yaml / video_ldm.yaml schema:
+    `spatial_score_network` + `motion_module`)."""
+    return {
+        "input_number_of_frames": frames,
+        "is_learned_sigma": False,
+        "input_channels": 1,
+        "input_spatial_size": 8,
+        "motion_module": {
+            "num_attention_heads": 2,
+            "attention_head_dims": 8,
+            "num_attention_blocks_per_layer": 1,
+            "num_layers": 1,
+        },
+        "spatial_score_network": {
+            "input_channels": 1,
+            "output_channels": 1,
+            "input_spatial_size": 8,
+            "num_features": 16,
+            "channel_multipliers": [1, 2],
+            "num_resnet_blocks": 1,
+            "use_scale_shift_norm": True,
+            "resamp_with_conv": False,
+            "resblock_updown": False,
+            "resnet_block_type": "biggan",
+            "dropout": 0.0,
+            "is_learned_sigma": False,
+            "is_class_conditional": False,
+            "num_classes": 10,
+            "attention": {
+                "attention_resolutions": [4],
+                "attention_heads": 2,
+                "attention_channels": 8,
+                "is_causal": False,
+            },
+            "conditioning": {
+                "signals": ["timestep"],
+                "projections": {
+                    "timestep": {
+                        "target": "xdiffusion.layers.embedding."
+                        "InvCosTimestepEmbeddingProjection",
+                        "params": {
+                            "num_features": 16,
+                            "time_embedding_mult": 4,
+                            "max_time": 1.0,
+                        },
+                    }
+                },
+                "context_transformer_head": [
+                    {
+                        "target": "xdiffusion.layers.embedding."
+                        "RunProjection",
+                        "params": {
+                            "input_context_key": "logsnr_t",
+                            "output_context_key": "timestep_embedding",
+                            "projection_key": "timestep",
+                        },
+                    }
+                ],
+                "context_transformer_layer": {
+                    "target": "xdiffusion.layers.attention."
+                    "SpatialCrossAttention",
+                    "params": {
+                        "context_dim": -1,
+                        "heads": 2,
+                        "dim_head": 8,
+                        "dropout": 0.0,
+                    },
+                },
+            },
+        },
+    }
+
+
 @pytest.mark.parametrize(
     "target,identity_at_init",
     [
         ("xdiffusion.score_networks.unet_pseudo3d.Unet", False),
-        ("xdiffusion.score_networks.video_ldm.Unet", False),
-        ("xdiffusion.score_networks.animate_diff.Unet", False),
+        ("xdiffusion.score_networks.video_ldm.Unet", True),
+        ("xdiffusion.score_networks.animate_diff.Unet", True),
     ],
 )
 def test_video_unet_variants_forward(target, identity_at_init):
     cls = get_obj_from_str(target)
-    cfg = DotConfig(
-        copy.deepcopy(
-            tiny_video_config(frames=4).to_dict()["diffusion"]["score_network"][
-                "params"
-            ]
+    if "pseudo3d" in target:
+        cfg = DotConfig(
+            copy.deepcopy(
+                tiny_video_config(frames=4).to_dict()["diffusion"][
+                    "score_network"
+                ]["params"]
+            )
         )
-    )
+    else:
+        cfg = DotConfig(tiny_wrapper_params(frames=4))
     net = cls(config=cfg)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8, 1))
     ctx = _video_ctx()
@@ -45,6 +123,15 @@ def test_video_unet_variants_forward(target, identity_at_init):
     out = jax.jit(net.apply)(params, x, ctx)
     assert out.shape == x.shape
     assert bool(jnp.all(jnp.isfinite(out)))
+    if identity_at_init:
+        # The wrappers' temporal modules are alpha=1-gated (and
+        # zero-projected): at init the net IS the per-frame image model —
+        # constant-in-time input stays constant in time.
+        xc = jnp.tile(x[:, :1], (1, 4, 1, 1, 1))
+        oc = jax.jit(net.apply)(params, xc, ctx)
+        np.testing.assert_allclose(
+            np.asarray(oc - oc[:, :1]), 0.0, atol=1e-5
+        )
 
 
 def test_pseudo3d_temporal_conv_identity_init():
@@ -61,14 +148,25 @@ def test_pseudo3d_temporal_conv_identity_init():
 
 
 def test_video_ldm_blend_starts_at_image_path():
-    from xdiffusion_tpu.score_networks.video_ldm import TemporalAdapter
+    # alpha starts at 1 (reference Conv3DLayer/TemporalAttentionLayer
+    # alpha gates, video_ldm.py:39,97): the temporal path is exactly
+    # silenced at init.
+    from xdiffusion_tpu.score_networks.video_ldm import (
+        Conv3DLayer,
+        TemporalAttentionLayer,
+    )
 
-    adapter = TemporalAdapter(channels=8, num_frames=4)
-    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4, 8))
-    params = adapter.init(jax.random.PRNGKey(1), x)
-    out = adapter.apply(params, x)
-    # sigmoid(8) ~ 0.9997: output ~ input at init.
-    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=0.05)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 4, 8))  # (B*F,H,W,C)
+    conv = Conv3DLayer(out_dim=8, num_frames=4)
+    params = conv.init(jax.random.PRNGKey(1), x)
+    np.testing.assert_allclose(
+        np.asarray(conv.apply(params, x)), np.asarray(x), atol=1e-6
+    )
+    attn = TemporalAttentionLayer(num_frames=4, heads=2)
+    params = attn.init(jax.random.PRNGKey(2), x, {})
+    np.testing.assert_allclose(
+        np.asarray(attn.apply(params, x, {})), np.asarray(x), atol=1e-6
+    )
 
 
 def test_sora_stdit_forward():
@@ -138,28 +236,27 @@ def test_fdm_frame_indices_change_attention():
 
 
 def test_partial_restore_transfers_backbone_keeps_motion(tmp_path):
-    """Image->video transfer contract: a unet_3d checkpoint warm-starts the
-    AnimateDiff net; only motion/temporal params stay at init."""
+    """Image->video transfer contract (the reference recipe: the
+    AnimateDiff spatial tree IS the image UNet): an image-UNet checkpoint
+    warm-starts the AnimateDiff net; only motion params stay at init."""
     import numpy as np
 
     from xdiffusion_tpu import checkpoints
     from xdiffusion_tpu.parallel import create_train_state
     import optax
 
-    params_cfg = copy.deepcopy(
-        tiny_video_config(frames=4).to_dict()["diffusion"]["score_network"][
-            "params"
-        ]
-    )
-    base_net = get_obj_from_str("xdiffusion.score_networks.unet_3d.Unet")(
-        config=DotConfig(copy.deepcopy(params_cfg))
+    params_cfg = tiny_wrapper_params(frames=4)
+    base_net = get_obj_from_str("xdiffusion.score_networks.unet.Unet")(
+        config=DotConfig(copy.deepcopy(params_cfg["spatial_score_network"]))
     )
     ad_net = get_obj_from_str("xdiffusion.score_networks.animate_diff.Unet")(
         config=DotConfig(copy.deepcopy(params_cfg))
     )
     x = jnp.zeros((1, 4, 8, 8, 1))
     ctx = _video_ctx(batch=1, frames=4)
-    base_params = jax.jit(base_net.init)(jax.random.PRNGKey(0), x, ctx)
+    base_params = jax.jit(base_net.init)(
+        jax.random.PRNGKey(0), x[:, 0], _video_ctx(batch=1)
+    )
     # Make the base distinguishable from a fresh init.
     base_params = jax.tree.map(lambda a: a + 0.25, base_params)
     state = create_train_state(base_params, optax.sgd(1e-3))
@@ -311,18 +408,27 @@ def test_temporal_only_finetuning_freezes_backbone(tmp_path):
     from xdiffusion_tpu.diffusion.ddpm import GaussianDiffusion_DDPM
     from xdiffusion_tpu.parallel import create_train_state, make_train_step
 
-    # Donor: unet_3d state checkpoint.
-    cfg = tiny_video_config(frames=4)
-    donor = GaussianDiffusion_DDPM(cfg)
-    donor_params = donor.init_params(jax.random.PRNGKey(0))
+    # Donor: an image-UNet checkpoint (the reference transfer source).
+    wrapper_params = tiny_wrapper_params(frames=4)
+    donor_net = get_obj_from_str("xdiffusion.score_networks.unet.Unet")(
+        config=DotConfig(
+            copy.deepcopy(wrapper_params["spatial_score_network"])
+        )
+    )
+    donor_params = jax.jit(donor_net.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 8, 8, 1)),
+        _video_ctx(batch=1),
+    )
     state0 = create_train_state(donor_params, optax.sgd(1e-2))
     checkpoints.save_checkpoint(str(tmp_path / "ckpt"), state0, 1)
 
-    # Recipient: AnimateDiff net on the same backbone config.
-    ad_cfg_dict = copy.deepcopy(cfg.to_dict())
-    ad_cfg_dict["diffusion"]["score_network"]["target"] = (
-        "xdiffusion.score_networks.animate_diff.Unet"
-    )
+    # Recipient: AnimateDiff net wrapping the same spatial config.
+    ad_cfg_dict = copy.deepcopy(tiny_video_config(frames=4).to_dict())
+    ad_cfg_dict["diffusion"]["score_network"] = {
+        "target": "xdiffusion.score_networks.animate_diff.Unet",
+        "params": wrapper_params,
+    }
     model = GaussianDiffusion_DDPM(DotConfig(ad_cfg_dict))
     params = model.init_params(jax.random.PRNGKey(1))
     merged, _, missing = checkpoints.restore_params_partial(

@@ -224,20 +224,12 @@ def _leaf_name(torch_base: str, flax_leaf: str) -> str:
     return torch_base + "." + flax_leaf
 
 
-def import_unet_params(
-    flax_params: Dict,
-    sd: Dict[str, Array],
-    *,
-    heads: int = 8,
-    dim_head: int = 64,
-    strict: bool = True,
-) -> Dict:
-    """Import a reference UNet state_dict (score_networks/unet.py:35) into
-    our `score_networks.unet.Unet` param tree.
-
-    heads/dim_head mirror the config's context_transformer_layer params —
-    needed to de-interleave the fused qkv rows per attention site.
-    """
+def _make_unet_resolve(
+    sd: Dict[str, Array], heads: int, dim_head: int
+) -> Callable[[Tuple[str, ...]], Optional[Tuple[str, Transform]]]:
+    """The image-UNet leaf resolver (reference score_networks/unet.py:35),
+    reusable by the video wrappers whose spatial tree shares the exact
+    same names (VideoLDMUnet / AnimateDiffUnet subclass Unet)."""
 
     def attn_heads(channels: int) -> int:
         return heads if dim_head == -1 else channels // dim_head
@@ -254,7 +246,15 @@ def import_unet_params(
             if path[1] == "fc2":
                 return (_leaf_name(f"{base}._projection.3", leaf), _dense)
             if path[1] in ("embed", "table"):
-                return (f"{base}.embedding_table.weight", _identity)
+                # TextTokenProjection stores its Embedding as
+                # `embedding_table` in some reference variants and as
+                # `_projection` in others (layers/embedding.py).
+                key = (
+                    f"{base}.embedding_table.weight"
+                    if f"{base}.embedding_table.weight" in sd
+                    else f"{base}._projection.weight"
+                )
+                return (key, _identity)
         if top == "_label_projection":
             return ("_label_projection.weight", _identity)
         if top == "initial_conv":
@@ -318,7 +318,27 @@ def import_unet_params(
             return (f"{base}.{op}.bias", _identity)
         return None
 
-    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+    return resolve
+
+
+def import_unet_params(
+    flax_params: Dict,
+    sd: Dict[str, Array],
+    *,
+    heads: int = 8,
+    dim_head: int = 64,
+    strict: bool = True,
+) -> Dict:
+    """Import a reference UNet state_dict (score_networks/unet.py:35) into
+    our `score_networks.unet.Unet` param tree.
+
+    heads/dim_head mirror the config's context_transformer_layer params —
+    needed to de-interleave the fused qkv rows per attention site.
+    """
+    return _apply_mapping(
+        flax_params, sd, _make_unet_resolve(sd, heads, dim_head),
+        strict=strict,
+    )
 
 
 # -- UNet3D (reference score_networks/unet_3d.py:27) -------------------------
@@ -884,6 +904,134 @@ def import_unet_pseudo3d_params(
             if leaf == "kernel":
                 return (f"{base}.{op}.weight", _conv3d_spatial)
             return (f"{base}.{op}.bias", _identity)
+        return None
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
+# -- Video wrappers: AnimateDiff + Video-LDM ---------------------------------
+
+_MOTION_RE = re.compile(r"^motion_(down|up|middle)(?:_(\d+))?$")
+_TT_BLOCK_RE = re.compile(r"^block_(\d+)$")
+_TT_NORM_RE = re.compile(r"^norm_(\d+)$")
+_TT_ATTN_RE = re.compile(r"^attn_(\d+)$")
+_VLDM_RE = re.compile(r"^temporal_(downs|ups|middle)_(\d+)_(conv(\d+)|attn)$")
+
+
+def _conv3d_temporal(w: Array) -> Array:
+    """torch Conv3d k=(3,1,1) (O, I, 3, 1, 1) -> flax 1D temporal Conv
+    (3, I, O)."""
+    return w[:, :, :, 0, 0].transpose(2, 1, 0)
+
+
+def import_animate_diff_params(
+    flax_params: Dict,
+    sd: Dict[str, Array],
+    *,
+    heads: int = 8,
+    dim_head: int = 64,
+    strict: bool = True,
+) -> Dict:
+    """Import a reference AnimateDiffUnet state_dict
+    (score_networks/animate_diff.py:201) into our
+    `score_networks.animate_diff.Unet` tree: the spatial subtree shares
+    the plain image-UNet mapping; motion modules map TemporalTransformer
+    leaves (the sequential slot index inside each
+    motion_modules_down/up entry is recovered from the state_dict —
+    index 1 when the stage has a spatial attention, else 0)."""
+    unet_resolve = _make_unet_resolve(sd, heads, dim_head)
+
+    def tt_resolve(base: str, path: Tuple[str, ...], leaf: str):
+        tf = _dense if leaf == "kernel" else _identity
+        child = path[0]
+        if child == "norm":
+            return (_leaf_name(f"{base}.norm", leaf), _identity)
+        if child in ("proj_in", "proj_out"):
+            return (_leaf_name(f"{base}.{child}", leaf), tf)
+        m = _TT_BLOCK_RE.match(child)
+        if m:
+            tb = f"{base}.transformer_blocks.{m.group(1)}"
+            sub = path[1]
+            m2 = _TT_NORM_RE.match(sub)
+            if m2:
+                return (
+                    _leaf_name(f"{tb}.norms.{m2.group(1)}", leaf), _identity
+                )
+            m2 = _TT_ATTN_RE.match(sub)
+            if m2:
+                ab = f"{tb}.attention_blocks.{m2.group(1)}"
+                if leaf == "alpha":
+                    return (f"{ab}.alpha", _identity)
+                return (_leaf_name(f"{ab}.{path[2]}", leaf), _dense)
+            if sub == "ff_norm":
+                return (_leaf_name(f"{tb}.ff_norm", leaf), _identity)
+            if sub == "ff_in":
+                return (_leaf_name(f"{tb}.ff.net.0.proj", leaf), tf)
+            if sub == "ff_out":
+                return (_leaf_name(f"{tb}.ff.net.2", leaf), tf)
+        return None
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+        m = _MOTION_RE.match(top)
+        if m:
+            sec, idx = m.group(1), m.group(2)
+            if sec == "middle":
+                base = "motion_modules_middle.1"
+            else:
+                coll = f"motion_modules_{sec}"
+                k = 1 if f"{coll}.{idx}.1.norm.weight" in sd else 0
+                base = f"{coll}.{idx}.{k}"
+            return tt_resolve(base, path[1:], leaf)
+        return unet_resolve(path)
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
+def import_video_ldm_params(
+    flax_params: Dict,
+    sd: Dict[str, Array],
+    *,
+    heads: int = 8,
+    dim_head: int = 64,
+    strict: bool = True,
+) -> Dict:
+    """Import a reference VideoLDMUnet state_dict
+    (score_networks/video_ldm.py:138) into our
+    `score_networks.video_ldm.Unet` tree: spatial subtree via the plain
+    image-UNet mapping; Conv3DLayer adapters keep the spatial element
+    index (== the reference temporal-sequential slot), temporal
+    attention always sits at slot 1."""
+    unet_resolve = _make_unet_resolve(sd, heads, dim_head)
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+        m = _VLDM_RE.match(top)
+        if m is None:
+            return unet_resolve(path)
+        sec, i, kind, conv_idx = m.groups()
+        coll = "temporal_middle" if sec == "middle" else f"temporal_{sec}"
+        if sec == "middle":
+            slot = "1" if kind == "attn" else conv_idx
+            base = f"{coll}.{slot}"
+        else:
+            slot = "1" if kind == "attn" else conv_idx
+            base = f"{coll}.{i}.{slot}"
+        if kind == "attn":
+            if leaf == "alpha":
+                return (f"{base}.alpha", _identity)
+            return (_leaf_name(f"{base}.{path[1]}", leaf), _dense)
+        # Conv3DLayer
+        child = path[1]
+        if leaf == "alpha":
+            return (f"{base}.alpha", _identity)
+        blk = {"block1": "block1", "block2": "block2"}[child.split("_")[0]]
+        if child.endswith("_norm"):
+            return (_leaf_name(f"{base}.{blk}.0", leaf), _identity)
+        if child.endswith("_conv"):
+            if leaf == "kernel":
+                return (f"{base}.{blk}.2.weight", _conv3d_temporal)
+            return (f"{base}.{blk}.2.bias", _identity)
         return None
 
     return _apply_mapping(flax_params, sd, resolve, strict=strict)
@@ -1746,6 +1894,22 @@ def import_score_network_params(
         )
     if target.endswith("diffussm.DiffusionSSM"):
         return import_diffussm_params(flax_params, sd, strict=strict)
+    if target.endswith(("animate_diff.AnimateDiffUnet", "animate_diff.Unet",
+                        "video_ldm.VideoLDMUnet", "video_ldm.Unet")):
+        scfg = config.diffusion.score_network.params.spatial_score_network
+        p = scfg.conditioning.context_transformer_layer.get("params", {})
+        fn = (
+            import_animate_diff_params
+            if "animate_diff" in target
+            else import_video_ldm_params
+        )
+        return fn(
+            flax_params,
+            sd,
+            heads=int(p.get("heads", 8)),
+            dim_head=int(p.get("dim_head", 64)),
+            strict=strict,
+        )
     if target.endswith("unet_3d.Unet"):
         cond = config.diffusion.score_network.params.conditioning
         p = cond.spatial_context_transformer_layer.get("params", {})

@@ -62,6 +62,19 @@ def glide_timestep_embedding(
     return emb
 
 
+def interleaved_frame_position_encoding(length: int, dim: int) -> jax.Array:
+    """The video wrappers' frame-position code (reference
+    video_ldm.py:56-77 / animate_diff.py:22-43 PositionalEncoding):
+    freq_i = 10000^(i/dim) — note the `dim` divisor on a `dim/2`-length
+    index — with sin/cos INTERLEAVED pairs, pe[l] = [sin(l/f0), cos(l/f0),
+    sin(l/f1), ...]."""
+    freq = jnp.exp(
+        jnp.arange(dim // 2, dtype=jnp.float32) / dim * math.log(10000.0)
+    )
+    x = jnp.arange(length, dtype=jnp.float32)[:, None] / freq[None, :]
+    return jnp.stack([jnp.sin(x), jnp.cos(x)], axis=-1).reshape(length, dim)
+
+
 class TimestepEmbeddingProjection(nn.Module):
     """Sinusoidal features -> 2-layer SiLU MLP (reference: embedding.py:79).
 

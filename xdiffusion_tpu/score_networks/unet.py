@@ -43,8 +43,15 @@ class Unet(nn.Module):
 
     config: Any  # DotConfig of score_network.params (static)
 
+    def _net_config(self):
+        """The config subtree describing the 2D backbone. Video wrappers
+        (Video-LDM, AnimateDiff) override this to point at their nested
+        `spatial_score_network` block (reference video_ldm.py:150,
+        animate_diff.py:213)."""
+        return self.config
+
     def setup(self):
-        cfg = self.config
+        cfg = self._net_config()
         # Compute dtype policy: params stay float32, activations/matmuls run
         # in bfloat16 when configured (MXU-native). Output is upcast to f32.
         dt = jnp.bfloat16 if cfg.get("dtype", "float32") == "bfloat16" else jnp.float32
@@ -189,14 +196,23 @@ class Unet(nn.Module):
             self._output_channels, (3, 3), use_bias=False, name="final_conv"
         )
 
-    def _apply_stage(self, stage, h, context, deterministic):
-        for kind, mod in stage:
+    def _apply_stage(self, stage, h, context, deterministic, stage_key=None):
+        for idx, (kind, mod) in enumerate(stage):
             if kind in ("res", "res_up"):
                 h = mod(h, context=context, deterministic=deterministic)
             elif kind == "attn":
                 h = mod(h, context=context, deterministic=deterministic)
             else:  # down / up resample
                 h = mod(h)
+            h = self._post_element(h, kind, stage_key, idx, context,
+                                   deterministic)
+        return h
+
+    def _post_element(self, h, kind, stage_key, elem_idx, context,
+                      deterministic):
+        """Hook: video wrappers interleave temporal modules after each
+        element of each stage (reference video_ldm.py:296-333,
+        animate_diff.py:385-422 zip spatial/temporal sequentials)."""
         return h
 
     def __call__(
@@ -215,18 +231,21 @@ class Unet(nn.Module):
                 context = head(context, self._projections)
             else:
                 context = head(context)
-        if self.config.is_class_conditional and "classes" in context:
+        if self._net_config().is_class_conditional and "classes" in context:
             context["class_embedding"] = self._label_projection(context["classes"])
 
         h = self._initial_conv(x)
         hs = [h]
-        for stage in self._downs:
-            h = self._apply_stage(stage, h, context, deterministic)
+        for i, stage in enumerate(self._downs):
+            h = self._apply_stage(stage, h, context, deterministic,
+                                  ("downs", i))
             hs.append(h)
-        h = self._apply_stage(self._middle, h, context, deterministic)
-        for stage in self._ups:
+        h = self._apply_stage(self._middle, h, context, deterministic,
+                              ("middle", 0))
+        for i, stage in enumerate(self._ups):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
-            h = self._apply_stage(stage, h, context, deterministic)
+            h = self._apply_stage(stage, h, context, deterministic,
+                                  ("ups", i))
 
         h = self._final_conv(self._final_norm(h))
         h = h.astype(jnp.float32)

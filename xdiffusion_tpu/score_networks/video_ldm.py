@@ -1,77 +1,250 @@
 """Video-LDM: temporal adapters over a (frozen) image UNet.
 
-Config-compatible counterpart of /root/reference/xdiffusion/
-score_networks/video_ldm.py:20-342 ("Align your Latents", arXiv:2304.08818):
-an image UNet runs per-frame; after each stage a temporal layer (3D-conv
-adapter + temporal attention) mixes frames, and a learned per-stage blend
-alpha interpolates between the image-only path (alpha=1 at init) and the
-temporal path — so image weights load untouched and only temporal layers
-train (reference load_checkpoint permits exactly the missing temporal
-keys).
+Faithful counterpart of /root/reference/xdiffusion/score_networks/
+video_ldm.py:20-342 ("Align your Latents", arXiv:2304.08818): the 2D
+image UNet (built from `config.spatial_score_network`) runs per-frame;
+a Conv3DLayer (two GroupNorm+SiLU+temporal-conv blocks, alpha-gated) is
+interleaved after EVERY resnet block, and a TemporalAttentionLayer
+(frame attention with optional text cross-attention, alpha-gated) after
+every spatial attention. Alphas start at 1 so the net begins exactly at
+the image model; the reference freezes the spatial tree in its
+constructor (video_ldm.py:259-264) — here freezing is the optimizer's
+job via `--train_temporal_modules_only`.
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from xdiffusion_tpu.layers.attention import TemporalSelfAttention
+from xdiffusion_tpu.layers.embedding import (
+    RunProjection,
+    interleaved_frame_position_encoding,
+)
+from xdiffusion_tpu.layers.resnet import FastGroupNorm
+from xdiffusion_tpu.score_networks.unet import Unet as _ImageUnet
 from xdiffusion_tpu.score_networks.unet_3d import (
-    Unet as _VideoUnet,
     _fold,
+    _tile_context_over_frames,
     _unfold,
 )
 
 
-class TemporalAdapter(nn.Module):
-    """3D-conv + temporal attention with a learned image/video blend."""
+class Conv3DLayer(nn.Module):
+    """Alpha-gated temporal conv adapter (reference video_ldm.py:20-54):
+    two [GroupNorm(32) -> SiLU -> Conv3d k=(3,1,1)] blocks — a pure
+    temporal conv per spatial position with full channel mixing — mixed
+    as alpha*x + (1-alpha)*h with alpha clamped to [0, 1] (init 1 —
+    identity)."""
 
-    channels: int
+    out_dim: int
     num_frames: int
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        # x: (B, F, H, W, C)
-        b, f, h, w, c = x.shape
-        # Temporal conv adapter (zero-init -> starts as identity path).
-        seq = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
-        z = nn.Conv(
-            c, (3,), padding="SAME", kernel_init=nn.initializers.zeros,
-            name="temporal_conv",
-        )(seq)
-        z = z.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
-        z = TemporalSelfAttention(
-            in_channels=c,
-            temporal_sequence_length=self.num_frames,
-            max_relative_position=self.num_frames,
-            heads=max(1, c // 64),
-            dim_head=-1,
-            name="temporal_attn",
-        )(x + z, deterministic=deterministic)
-        # alpha=1 at init: pure image path (Video-LDM Eq. 2 mixing).
-        alpha = self.param("alpha", nn.initializers.ones, ())
-        a = jax.nn.sigmoid(alpha * 8.0)  # init sigmoid(8) ~ 1.0
-        return a * x + (1.0 - a) * z
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: frame-folded (B*F, H, W, C).
+        bf, hh, ww, c = x.shape
+        f = self.num_frames
+        b = bf // f
+
+        def block(h, dim, name):
+            groups = 32 if h.shape[-1] % 32 == 0 else max(1, h.shape[-1] // 4)
+            h = FastGroupNorm(
+                num_groups=groups, stat_frames=f, silu=True,
+                name=f"{name}_norm",
+            )(h)
+            # (B*F, H, W, C) -> (B*H*W, T, C): torch Conv3d k=(3,1,1)
+            # slides over frames only.
+            h = h.reshape(b, f, hh * ww, h.shape[-1]).transpose(0, 2, 1, 3)
+            h = h.reshape(b * hh * ww, f, h.shape[-1])
+            h = nn.Conv(dim, (3,), padding="SAME", name=f"{name}_conv")(h)
+            h = h.reshape(b, hh * ww, f, dim).transpose(0, 2, 1, 3)
+            return h.reshape(bf, hh, ww, dim)
+
+        h = block(x, self.out_dim, "block1")
+        h = block(h, self.out_dim, "block2")
+        alpha = jnp.clip(self.param("alpha", nn.initializers.ones, (1,)),
+                         0.0, 1.0)
+        return alpha * x + (1.0 - alpha) * h
 
 
-class Unet(_VideoUnet):
-    """Video-LDM UNet: image stages + blended temporal adapters."""
+class TemporalAttentionLayer(nn.Module):
+    """Alpha-gated frame attention (reference video_ldm.py:80-135):
+    queries are per-spatial-position frame sequences with interleaved
+    sin/cos position codes; keys/values come from the text embeddings
+    (one row per example — the frame-tiled embeddings are strided back,
+    video_ldm.py:115) when present, else self-attention."""
+
+    num_frames: int
+    heads: int
+    kv_dim: int = -1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Dict) -> jax.Array:
+        bf, hh, ww, c = x.shape
+        f = self.num_frames
+        b = bf // f
+        skip = x
+        q = x.reshape(b, f, hh * ww, c).transpose(0, 2, 1, 3)  # (B,HW,T,C)
+        q = q + interleaved_frame_position_encoding(f, c)
+
+        kv = None
+        if "text_embeddings" in context:
+            # Frame-tiled (B*F, S, D) -> (B, S, D).
+            kv = context["text_embeddings"][:: f]
+        if kv is None:
+            kv = q  # self-attention over frames, post-position-code
+
+        head_dim = c // self.heads
+        proj_dim = head_dim * self.heads
+        q = nn.Dense(proj_dim, use_bias=False, name="q_proj")(q)
+        k = nn.Dense(proj_dim, use_bias=False, name="k_proj")(kv)
+        v = nn.Dense(proj_dim, use_bias=False, name="v_proj")(kv)
+
+        q = q.reshape(b, hh * ww, f, self.heads, head_dim)
+        scale = head_dim ** -0.5
+        if k.ndim == 3:  # cross-attention: (B, S, proj) shared over HW
+            k = k.reshape(b, -1, self.heads, head_dim)
+            v = v.reshape(b, -1, self.heads, head_dim)
+            attn = jnp.einsum("bpthd,bshd->bphts", q, k) * scale
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bphts,bshd->bpthd", attn, v)
+        else:  # self-attention: (B, HW, T, proj)
+            k = k.reshape(b, hh * ww, f, self.heads, head_dim)
+            v = v.reshape(b, hh * ww, f, self.heads, head_dim)
+            attn = jnp.einsum("bpthd,bpshd->bphts", q, k) * scale
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bphts,bpshd->bpthd", attn, v)
+        out = out.reshape(b, hh * ww, f, proj_dim)
+        out = nn.Dense(c, use_bias=False, name="o_proj")(out)
+        out = out.transpose(0, 2, 1, 3).reshape(bf, hh, ww, c)
+
+        alpha = jnp.clip(self.param("alpha", nn.initializers.ones, (1,)),
+                         0.0, 1.0)
+        return alpha * skip + (1.0 - alpha) * out
+
+
+class Unet(_ImageUnet):
+    """Image UNet + interleaved temporal adapters (reference
+    VideoLDMUnet, video_ldm.py:138-342)."""
+
+    def _net_config(self):
+        return self.config.spatial_score_network
 
     def setup(self):
         super().setup()
-        n_stages = len(self._downs) + 1 + len(self._ups)
-        self._adapters = [
-            TemporalAdapter(
-                channels=-1, num_frames=self._num_frames, name=f"adapter_{i}"
-            )
-            for i in range(n_stages)
-        ]
+        cfg = self.config
+        scfg = cfg.spatial_score_network
+        self._num_frames = int(cfg.input_number_of_frames)
+        attn_params = scfg.conditioning.context_transformer_layer.get(
+            "params", {}
+        )
+        heads = int(attn_params.get("heads", 8))
+        kv_dim = int(attn_params.get("context_dim", -1))
 
-    def _post_stage(self, h, f, stage_id):
-        return _fold(self._adapters[stage_id](_unfold(h, f)))[0]
+        def conv(ch: int, name: str) -> Conv3DLayer:
+            return Conv3DLayer(
+                out_dim=ch, num_frames=self._num_frames, name=name
+            )
+
+        def attn(ch: int, name: str) -> TemporalAttentionLayer:
+            return TemporalAttentionLayer(
+                num_frames=self._num_frames, heads=heads, kv_dim=kv_dim,
+                name=name,
+            )
+
+        # (section, stage) -> {elem_idx: module key}; a Conv3DLayer after
+        # every resnet, a TemporalAttentionLayer after every attention
+        # (reference temporal_downs/middle/ups construction).
+        temporal: Dict[str, nn.Module] = {}
+        place: Dict[Tuple[str, int], Dict[int, str]] = {}
+
+        def plan(section: str, i: int, stage) -> None:
+            slots: Dict[int, str] = {}
+            for idx, (kind, mod) in enumerate(stage):
+                ch = int(getattr(mod, "dim_out", 0) or 0)
+                if kind == "res" and not (
+                    getattr(mod, "up", False) or getattr(mod, "down", False)
+                ):
+                    key = f"temporal_{section}_{i}_conv{idx}"
+                    temporal[key] = conv(ch, key)
+                    slots[idx] = key
+                elif kind == "attn":
+                    key = f"temporal_{section}_{i}_attn"
+                    ch = int(getattr(mod, "in_channels", 0) or 0)
+                    temporal[key] = attn(ch, key)
+                    slots[idx] = key
+            if slots:
+                place[(section if section != "middle" else "middle", i)] = (
+                    slots
+                )
+
+        for i, stage in enumerate(self._downs):
+            plan("downs", i, stage)
+        plan("middle", 0, self._middle)
+        for i, stage in enumerate(self._ups):
+            plan("ups", i, stage)
+        self._temporal = temporal
+        self._temporal_place = place
+
+    def _post_element(self, h, kind, stage_key, elem_idx, context,
+                      deterministic):
+        if stage_key is None:
+            return h
+        slots = self._temporal_place.get(stage_key)
+        if not slots or elem_idx not in slots:
+            return h
+        mod = self._temporal[slots[elem_idx]]
+        if isinstance(mod, TemporalAttentionLayer):
+            return mod(h, context)
+        return mod(h)
+
+    def __call__(
+        self, x: jax.Array, context: Dict, deterministic: bool = True
+    ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
+        """x: (B, F, H, W, C) video batch (reference forward reshapes
+        "b c f h w -> (b f) c h w", video_ldm.py:287-289)."""
+        context = dict(context)
+        for head in self._context_heads:
+            if (
+                isinstance(head, (RunProjection, nn.Module))
+                or hasattr(head, "projection_key")
+            ):
+                context = head(context, self._projections)
+            else:
+                context = head(context)
+        if self._net_config().is_class_conditional and "classes" in context:
+            context["class_embedding"] = self._label_projection(
+                context["classes"]
+            )
+
+        h, f = _fold(x)
+        # Per-example conditioning repeats per frame once frames fold
+        # into the batch (the reference does this via its
+        # SpatialBatchForVideo context heads; ours are pass-throughs and
+        # the fold site tiles, matching unet_3d).
+        context = _tile_context_over_frames(context, f)
+        h = self._initial_conv(h)
+        hs = [h]
+        for i, stage in enumerate(self._downs):
+            h = self._apply_stage(stage, h, context, deterministic,
+                                  ("downs", i))
+            hs.append(h)
+        h = self._apply_stage(self._middle, h, context, deterministic,
+                              ("middle", 0))
+        for i, stage in enumerate(self._ups):
+            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            h = self._apply_stage(stage, h, context, deterministic,
+                                  ("ups", i))
+
+        h = self._final_conv(self._final_norm(h))
+        h = _unfold(h.astype(jnp.float32), f)
+        if self._is_learned_sigma:
+            return tuple(jnp.split(h, 2, axis=-1))
+        return h
 
 
 # Reference configs name the class VideoLDMUnet.
