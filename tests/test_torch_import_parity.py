@@ -1295,6 +1295,79 @@ def test_video_ldm_forward_matches_reference():
     )
 
 
+def test_fdm_factorized3d_forward_matches_reference():
+    """FDM factorized-3D UNet golden parity (reference
+    score_networks/unet_factorized3d.py:197-478, layers/attention.py:
+    910-1090): obs-indicator channel + x0 splice, per-frame GLIDE
+    timestep embedding, temporal RPE attention with rpe_q/k/v nets over
+    explicit frame indices and the observed/latent group mask, then
+    spatial attention."""
+    import os
+
+    import torch
+
+    config = os.path.join(
+        os.path.dirname(__file__), "fixtures", "fdm_parity.yaml"
+    )
+    torch.manual_seed(0)
+    net, _ = _ref_net(config)
+    sd = randomize_zero_init(net.state_dict())
+    net.load_state_dict(sd)
+
+    import jax
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.importers import import_score_network_params
+    from xdiffusion_tpu.score_networks.unet_factorized3d import UNet
+
+    cfg = load_yaml(config)
+    ours = UNet(config=cfg.diffusion.score_network.params)
+
+    B, C, T, H, W = 2, 1, 4, 16, 16
+    rng = np.random.default_rng(71)
+    x = rng.standard_normal((B, C, T, H, W), dtype=np.float32)
+    x0 = rng.standard_normal((B, C, T, H, W), dtype=np.float32)
+    t = np.array([17, 501], dtype=np.int64)
+    frame_idx = np.array([[0, 2, 5, 9], [1, 2, 3, 4]], dtype=np.int64)
+    obs = np.array([[1, 0, 0, 1], [0, 1, 0, 0]], dtype=np.float32)
+    latent = np.array([[0, 1, 1, 0], [1, 0, 1, 1]], dtype=np.float32)
+    # Per-frame masks in the trainer's (B, 1, T, 1, 1) layout (the
+    # reference flattens them to (B, T) for the attention group mask).
+    obs5 = obs[:, None, :, None, None].copy()
+    lat5 = latent[:, None, :, None, None].copy()
+
+    with torch.no_grad():
+        ref_out = net(
+            torch.from_numpy(x),
+            {
+                "timestep": torch.from_numpy(t),
+                "x0": torch.from_numpy(x0),
+                "frame_indices": torch.from_numpy(frame_idx),
+                "observed_mask": torch.from_numpy(obs5),
+                "latent_mask": torch.from_numpy(lat5),
+            },
+        ).numpy()
+
+    ctx = {
+        "timestep": jnp.asarray(t, jnp.int32),
+        "x0": jnp.asarray(np.transpose(x0, (0, 2, 3, 4, 1))),
+        "frame_indices": jnp.asarray(frame_idx, jnp.int32),
+        "video_mask": jnp.asarray(latent),
+        "observed_mask": jnp.asarray(obs),
+    }
+    x_ours = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))
+    params = ours.init(jax.random.PRNGKey(0), x_ours, ctx)
+    params = import_score_network_params(cfg, params, {
+        k: v.detach().numpy() for k, v in sd.items()
+    })
+
+    with jax.default_matmul_precision("highest"):
+        our_out = ours.apply(params, x_ours, ctx)
+    our_out = np.transpose(np.asarray(our_out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-4, rtol=2e-3)
+
+
 def test_diffussm_forward_matches_reference():
     """DiffuSSM golden parity (reference score_networks/diffussm.py:16-128,
     layers/s4d.py:11-113, layers/sequence.py:20-145) on the shipped

@@ -909,6 +909,84 @@ def import_unet_pseudo3d_params(
     return _apply_mapping(flax_params, sd, resolve, strict=strict)
 
 
+# -- FDM factorized-3D UNet (reference unet_factorized3d.py:197) -------------
+
+
+def import_fdm_params(
+    flax_params: Dict,
+    sd: Dict[str, Array],
+    *,
+    strict: bool = True,
+) -> Dict:
+    """Import a reference FDM UNet state_dict
+    (score_networks/unet_factorized3d.py:197, layers/attention.py:910-1090)
+    into our `score_networks.unet_factorized3d.UNet` tree. The reference's
+    context-transformer projection params (`_projections.*`,
+    `_context_transformers.*`) are dead weights — forward re-embeds the
+    timestep itself (:450) — and have no flax counterpart."""
+
+    def rpe_resolve(base: str, path: Tuple[str, ...], leaf: str):
+        tf = _dense if leaf == "kernel" else _identity
+        child = path[0]
+        if child == "norm":
+            return (_leaf_name(f"{base}.norm", leaf), _identity)
+        if child in ("qkv", "proj_out"):
+            return (_leaf_name(f"{base}.{child}", leaf), tf)
+        if child in ("rpe_q", "rpe_k", "rpe_v"):
+            # RPENet leaves (reference attention.py:910-938).
+            return (
+                _leaf_name(f"{base}.{child}.rpe_net.{path[1]}", leaf), tf
+            )
+        return None
+
+    def resolve(path: Tuple[str, ...]):
+        top, leaf = path[0], path[-1]
+        conv_tf = _conv2d if leaf == "kernel" else _identity
+        dense_tf = _dense if leaf == "kernel" else _identity
+        if top == "initial_conv":
+            return (_leaf_name("input_blocks.0.0", leaf), conv_tf)
+        if top == "time_fc1":
+            return (_leaf_name("time_embed.0", leaf), dense_tf)
+        if top == "time_fc2":
+            return (_leaf_name("time_embed.2", leaf), dense_tf)
+        if top == "final_norm":
+            return (_leaf_name("out.0", leaf), _identity)
+        if top == "final_conv":
+            return (_leaf_name("out.2", leaf), conv_tf)
+
+        m = _STAGE_RE.match(top) or _MIDDLE_RE.match(top)
+        if m is None:
+            return None
+        if m.re is _MIDDLE_RE:
+            base = f"middle_block.{m.group(1)}"
+            pyramid = "middle"
+        else:
+            pyramid, i, j = m.group(1), m.group(2), m.group(3)
+            coll = "input_blocks" if pyramid == "downs" else "output_blocks"
+            # input_blocks.0 is the initial conv: down stages shift by 1.
+            idx = int(i) + 1 if pyramid == "downs" else int(i)
+            base = f"{coll}.{idx}.{j}"
+
+        child = path[1]
+        if child in _BIGGAN_RES:
+            suffix, tf = _BIGGAN_RES[child]
+            if leaf in ("scale", "bias") and tf is None:
+                return (_leaf_name(f"{base}.{suffix}", leaf), _identity)
+            if leaf == "kernel":
+                return (f"{base}.{suffix}.weight", tf)
+            return (f"{base}.{suffix}.bias", _identity)
+        if child in ("temporal_attention", "spatial_attention"):
+            return rpe_resolve(f"{base}.{child}", path[2:], leaf)
+        if child == "conv":
+            op = "op" if pyramid == "downs" else "conv"
+            if leaf == "kernel":
+                return (f"{base}.{op}.weight", _conv2d)
+            return (f"{base}.{op}.bias", _identity)
+        return None
+
+    return _apply_mapping(flax_params, sd, resolve, strict=strict)
+
+
 # -- Video wrappers: AnimateDiff + Video-LDM ---------------------------------
 
 _MOTION_RE = re.compile(r"^motion_(down|up|middle)(?:_(\d+))?$")
@@ -1894,6 +1972,8 @@ def import_score_network_params(
         )
     if target.endswith("diffussm.DiffusionSSM"):
         return import_diffussm_params(flax_params, sd, strict=strict)
+    if target.endswith("unet_factorized3d.UNet"):
+        return import_fdm_params(flax_params, sd, strict=strict)
     if target.endswith(("animate_diff.AnimateDiffUnet", "animate_diff.Unet",
                         "video_ldm.VideoLDMUnet", "video_ldm.Unet")):
         scfg = config.diffusion.score_network.params.spatial_score_network

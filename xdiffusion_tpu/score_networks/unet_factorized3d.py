@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from xdiffusion_tpu.layers.attention import FactorizedAttentionBlock
-from xdiffusion_tpu.layers.embedding import sinusoidal_embedding
+from xdiffusion_tpu.layers.embedding import glide_timestep_embedding
 from xdiffusion_tpu.layers.resnet import (
     Downsample,
     ResnetBlockBigGAN,
@@ -205,14 +205,15 @@ class Unet(nn.Module):
         h = jnp.concatenate([x * (1.0 - m) + x0[:, :t] * m, obs_indicator], axis=-1)
         h = h.reshape(b * t, hh, ww, c + 1)
 
-        # Per-frame timestep embedding (reference :439,454): one diffusion
-        # time broadcast across frames, embedded at (B*T,).
+        # Per-frame timestep embedding (reference :436,450): one diffusion
+        # time broadcast across frames, embedded at (B*T,) with the
+        # GLIDE-style cos-first features (reference layers/utils.py:90).
         timesteps = context["timestep"].astype(jnp.float32)
         t_bt = jnp.broadcast_to(timesteps[:, None], (b, t)).reshape(b * t)
         emb = self._time_fc2(
             nn.silu(
                 self._time_fc1(
-                    sinusoidal_embedding(t_bt, self._model_channels)
+                    glide_timestep_embedding(t_bt, self._model_channels)
                 )
             )
         )
