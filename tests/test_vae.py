@@ -44,6 +44,10 @@ def tiny_vae_config():
                     "disc_weight": 0.5,
                     "disc_in_channels": 1,
                     "disc_num_layers": 2,
+                    # Fixed-weight mode: the monotone-loss sanity check
+                    # below needs a stationary objective; the adaptive
+                    # path has its own dedicated test.
+                    "use_adaptive_adversarial_weight": False,
                 },
             },
         }
@@ -231,3 +235,69 @@ def test_reconstruction_gan_both_phases():
     d, dm = loss.apply(params, x, recon, post, 1, jnp.asarray(0))
     assert np.isfinite(float(g)) and np.isfinite(float(d))
     assert "disc_loss" in dm
+
+
+def test_adaptive_adversarial_weight_matches_explicit_grads():
+    """The adaptive generator/discriminator balance (reference
+    losses.py:103-118): d_weight == |d nll/d w_last| / (|d g/d w_last| +
+    1e-4) at the decoder's output conv, clamped — validated against two
+    independent jax.grad computations, and wired into the generator
+    loss (metrics expose d_weight)."""
+    from xdiffusion_tpu.autoencoders.losses import (
+        adaptive_adversarial_weight,
+        find_kernel_path,
+    )
+
+    import copy as _copy
+
+    cfg = _copy.deepcopy(tiny_vae_config().to_dict())
+    cfg["loss_config"]["params"]["use_adaptive_adversarial_weight"] = True
+    vae = AutoencoderKL(DotConfig(cfg))
+    params = vae.init_params(jax.random.PRNGKey(0))
+    # Perturb so the zero-init discriminator logits carry signal.
+    params = jax.tree.map(
+        lambda a: a + 0.03 * jnp.ones_like(a), params
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 1))
+    rng = jax.random.PRNGKey(2)
+    step = jnp.zeros((), jnp.int32)
+
+    def forward(ae_params):
+        recon, moments = vae.module.apply(ae_params, x, rng)
+        return recon, DiagonalGaussianDistribution(moments)
+
+    path = find_kernel_path(params["ae"], "decoder/conv_out")
+    d_weight = adaptive_adversarial_weight(
+        vae.loss_module, params["disc"], params["ae"], path, forward,
+        x, step,
+    )
+
+    # Explicit reference computation with two jax.grad calls.
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = dict(flatten_dict(params["ae"]))
+
+    def scalar(w, idx):
+        f2 = dict(flat)
+        f2[path] = w
+        recon, post = forward(unflatten_dict(f2))
+        return vae.loss_module.apply(
+            params["disc"], x, recon, post, 0, step, return_nll_g=True
+        )[idx]
+
+    g_nll = jax.grad(lambda w: scalar(w, 0))(flat[path])
+    g_g = jax.grad(lambda w: scalar(w, 1))(flat[path])
+    expected = np.linalg.norm(np.asarray(g_nll).ravel()) / (
+        np.linalg.norm(np.asarray(g_g).ravel()) + 1e-4
+    )
+    np.testing.assert_allclose(
+        float(d_weight), min(expected, 1e4), rtol=1e-5
+    )
+    assert float(d_weight) > 0.0
+
+    # Wire-through: the generator loss reports an adaptive d_weight
+    # (not the fixed disc_weight; the trainer path splits the rng so the
+    # exact value differs from the hand computation above).
+    loss_a, logs = vae.training_losses(params, rng, x, 0, step)
+    assert np.isfinite(float(logs["d_weight"]))
+    assert abs(float(logs["d_weight"]) - vae.loss_module.disc_weight) > 1e-3

@@ -21,7 +21,13 @@ def main():
     p.add_argument("--learning_rate", type=float, default=4.5e-6)
     p.add_argument("--resume_from", type=str, default="")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--force_cpu", action="store_true")
     args = p.parse_args()
+
+    if args.force_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     train_autoencoder(
         config_path=args.config_path,

@@ -232,14 +232,24 @@ class _CausalVAEBase(VariationalAutoEncoder):
         the reconstruction is cropped back to the input length."""
         assert self.loss_module is not None, "config needs loss_config"
         rng_s = rng
-        recon, moments = self.module.apply(params["ae"], inputs, rng_s)
-        recon = recon[:, : inputs.shape[1]]
-        posterior = _moments_to_distribution(
-            moments, self.module.latent_channels
+
+        def forward(ae_params):
+            recon, moments = self.module.apply(ae_params, inputs, rng_s)
+            recon = recon[:, : inputs.shape[1]]
+            return recon, _moments_to_distribution(
+                moments, self.module.latent_channels
+            )
+
+        recon, posterior = forward(params["ae"])
+        from xdiffusion_tpu.autoencoders.losses import maybe_adaptive_weight
+
+        adaptive = maybe_adaptive_weight(
+            self.loss_module, params, forward, inputs, global_step,
+            optimizer_idx, "dec_out",
         )
         loss, logs = self.loss_module.apply(
             params["disc"], inputs, recon, posterior, optimizer_idx,
-            global_step,
+            global_step, adaptive_weight=adaptive,
         )
         return loss, logs
 

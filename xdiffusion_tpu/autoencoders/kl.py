@@ -140,15 +140,26 @@ class AutoencoderKL(VariationalAutoEncoder):
         deterministic: bool = False,
     ) -> Tuple[jax.Array, Dict]:
         rng_s, rng_d = jax.random.split(rng)
-        recon, moments = self.module.apply(
-            params["ae"],
-            inputs,
-            rng_s,
-            deterministic=deterministic,
-            rngs={"dropout": rng_d} if not deterministic else None,
+
+        def forward(ae_params):
+            recon, moments = self.module.apply(
+                ae_params,
+                inputs,
+                rng_s,
+                deterministic=deterministic,
+                rngs={"dropout": rng_d} if not deterministic else None,
+            )
+            return recon, DiagonalGaussianDistribution(moments)
+
+        recon, posterior = forward(params["ae"])
+        from xdiffusion_tpu.autoencoders.losses import maybe_adaptive_weight
+
+        adaptive = maybe_adaptive_weight(
+            self.loss_module, params, forward, inputs, global_step,
+            optimizer_idx, "decoder/conv_out",
         )
-        posterior = DiagonalGaussianDistribution(moments)
         loss, logs = self.loss_module.apply(
-            params["disc"], inputs, recon, posterior, optimizer_idx, global_step
+            params["disc"], inputs, recon, posterior, optimizer_idx,
+            global_step, adaptive_weight=adaptive,
         )
         return loss, logs

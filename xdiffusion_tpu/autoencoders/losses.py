@@ -8,15 +8,23 @@ learned-logvar NLL + KL + adversarial term with a hinge/vanilla PatchGAN;
 3D Haar wavelet loss and the paired reconstruction-GAN variant
 (losses.py:537,175-200) are wired when their knobs are set.
 
-Remaining deviation: the adaptive generator/discriminator weight
-(grad-norm ratio at the decoder's last layer, losses.py:104-119) is
-replaced by the configured fixed disc_weight — a second grad pass inside
-the jitted train step would double its cost for a scale factor.
+The adaptive generator/discriminator weight (grad-norm ratio at the
+decoder's last layer, reference losses.py:103-118) is implemented via a
+single jax.vjp whose linearization is shared by both cotangent pulls
+(`adaptive_adversarial_weight` below) and enabled by
+`use_adaptive_adversarial_weight` (reference default True; the
+Hunyuan/OpenSora configs set it False explicitly).
+
+Known reference quirk NOT replicated: the reference's generator loss has
+a ternary-precedence bug (losses.py:207-211: `A if use_nll else B + C +
+D` binds as `A if use_nll else (B+C+D)`), which silently drops the KL
+and adversarial terms whenever use_nll — we compose nll + kl + adv as
+the surrounding code clearly intends.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -145,6 +153,11 @@ class LPIPSWithDiscriminator(nn.Module):
     # plain mean reconstruction loss.
     learned_logvar: bool = True
     use_nll: bool = True
+    # Reference default True (losses.py:39); when on, the trainer
+    # supplies `adaptive_weight` computed by
+    # `adaptive_adversarial_weight` and it replaces the fixed
+    # disc/adversarial weight.
+    use_adaptive_adversarial_weight: bool = True
 
     def setup(self):
         assert self.disc_loss in ("hinge", "vanilla")
@@ -169,6 +182,8 @@ class LPIPSWithDiscriminator(nn.Module):
         posterior,
         optimizer_idx: int,
         global_step: jax.Array,
+        adaptive_weight: Optional[jax.Array] = None,
+        return_nll_g: bool = False,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         diff = inputs - reconstructions
         if self.rec_loss == "l2":
@@ -252,6 +267,15 @@ class LPIPSWithDiscriminator(nn.Module):
             else:
                 logits_fake = self.discriminator(disc_rec)
             g_loss = -jnp.mean(logits_fake)
+            if return_nll_g:
+                # For adaptive_adversarial_weight's vjp: the two scalars
+                # whose last-layer gradients are balanced (reference
+                # losses.py:103-118).
+                return nll_loss, g_loss
+            if adaptive_weight is not None:
+                # d_weight = clamp(|dNLL/dw|/|dG/dw|) * adversarial_weight
+                # (reference losses.py:115-117).
+                adv_weight = adaptive_weight * adv_weight
             loss = (
                 nll_loss
                 + self.kl_weight * kl_loss
@@ -264,6 +288,7 @@ class LPIPSWithDiscriminator(nn.Module):
                 "g_loss": g_loss,
                 "p_loss": p_loss,
                 "w_loss": w_loss,
+                "d_weight": jnp.asarray(adv_weight, jnp.float32),
                 "logvar": jnp.mean(logvar),
             }
 
@@ -296,3 +321,93 @@ class LPIPSWithDiscriminator(nn.Module):
             "logits_real": jnp.mean(logits_real),
             "logits_fake": jnp.mean(logits_fake),
         }
+
+
+def find_kernel_path(params: Dict, marker: str) -> Tuple:
+    """Locate the unique kernel leaf whose path contains `marker` —
+    used to address the decoder's output convolution for the adaptive
+    adversarial weight (reference losses.py:103-118 differentiates
+    w.r.t. `decoder.conv_out.weight`)."""
+    from flax.traverse_util import flatten_dict
+
+    hits = [
+        p
+        for p in flatten_dict(params)
+        if marker in "/".join(map(str, p)) and p[-1] == "kernel"
+    ]
+    if len(hits) != 1:
+        raise ValueError(
+            f"expected exactly one kernel matching {marker!r}, got {hits}"
+        )
+    return hits[0]
+
+
+def adaptive_adversarial_weight(
+    loss_module: LPIPSWithDiscriminator,
+    disc_params: Dict,
+    ae_params: Dict,
+    last_layer_path: Tuple,
+    forward_fn,
+    inputs: jax.Array,
+    global_step: jax.Array,
+) -> jax.Array:
+    """The reference's adaptive generator/discriminator balance
+    (losses.py:103-118): |d nll / d w_last| / (|d g / d w_last| + 1e-4)
+    clamped to [0, 1e4], stop-gradient. `forward_fn(ae_params) ->
+    (reconstructions, posterior)`. One jax.vjp linearizes the forward
+    once; both cotangent pulls share it (the JAX analogue of the two
+    retain_graph autograd.grad calls)."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = dict(flatten_dict(ae_params))
+    w0 = flat[last_layer_path]
+
+    def heads(w_last):
+        flat2 = dict(flat)
+        flat2[last_layer_path] = w_last
+        recon, posterior = forward_fn(unflatten_dict(flat2))
+        return loss_module.apply(
+            disc_params,
+            inputs,
+            recon,
+            posterior,
+            0,
+            global_step,
+            return_nll_g=True,
+        )
+
+    _, vjp = jax.vjp(heads, w0)
+    one, zero = jnp.ones(()), jnp.zeros(())
+    nll_grads = vjp((one, zero))[0]
+    g_grads = vjp((zero, one))[0]
+    d_weight = jnp.linalg.norm(nll_grads.reshape(-1)) / (
+        jnp.linalg.norm(g_grads.reshape(-1)) + 1e-4
+    )
+    return jax.lax.stop_gradient(jnp.clip(d_weight, 0.0, 1e4))
+
+
+def maybe_adaptive_weight(
+    loss_module,
+    params: Dict,
+    forward_fn,
+    inputs: jax.Array,
+    global_step: jax.Array,
+    optimizer_idx: int,
+    marker: str,
+) -> Optional[jax.Array]:
+    """Trainer-side convenience: the adaptive weight when the loss wants
+    it and this is the generator phase, else None (fixed weight)."""
+    if optimizer_idx != 0 or not getattr(
+        loss_module, "use_adaptive_adversarial_weight", False
+    ):
+        return None
+    path = find_kernel_path(params["ae"], marker)
+    return adaptive_adversarial_weight(
+        loss_module,
+        params["disc"],
+        params["ae"],
+        path,
+        forward_fn,
+        inputs,
+        global_step,
+    )
