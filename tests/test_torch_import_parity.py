@@ -185,6 +185,93 @@ def test_ddim_sampling_trajectory_matches_reference():
     np.testing.assert_allclose(our_samples, ref_samples, atol=5e-4, rtol=5e-3)
 
 
+def test_rectified_flow_trajectory_matches_reference():
+    """Full-stack rectified-flow golden parity: 5 Euler steps from the
+    SAME weights / noise / text embeddings in both stacks — exercises
+    DiscreteRectifiedFlowNoiseScheduler, the RectifiedFlow SDE
+    (sigma_t / noise_scale), the rectified-flow ancestral sampler math,
+    and the Flux network end to end (reference
+    samplers/rectified_flow.py:11-95, ddpm.py:866-987)."""
+    import os
+
+    import torch
+
+    config = os.path.join(
+        os.path.dirname(__file__), "fixtures", "rf_trajectory_parity.yaml"
+    )
+    torch.manual_seed(0)
+    ref_net, _ = _ref_net(config)
+    ref_sd = randomize_zero_init(ref_net.state_dict())
+
+    from xdiffusion.diffusion.ddpm import GaussianDiffusion_DDPM as RefDDPM
+    from xdiffusion.samplers.rectified_flow import (
+        AncestralSampler as RefRF,
+    )
+    from xdiffusion.utils import load_yaml as ref_load_yaml
+
+    ref_model = RefDDPM(ref_load_yaml(config))
+    ref_model._score_network.load_state_dict(ref_sd)
+    ref_model.eval()
+
+    import jax
+    import jax.numpy as jnp
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.diffusion.ddpm import GaussianDiffusion_DDPM
+    from xdiffusion_tpu.importers import import_score_network_params
+    from xdiffusion_tpu.samplers.rectified_flow import AncestralSampler
+
+    cfg = load_yaml(config)
+    ours = GaussianDiffusion_DDPM(cfg)
+
+    rng = np.random.default_rng(11)
+    noise = rng.standard_normal((2, 1, 16, 16), dtype=np.float32)
+    t5 = rng.standard_normal((2, 7, 48), dtype=np.float32)
+    clip = rng.standard_normal((2, 32), dtype=np.float32)
+
+    # The fixture feeds embeddings directly (no text towers), so init
+    # with an explicit example context.
+    init_ctx = {
+        "timestep": jnp.zeros((2,), jnp.float32),
+        "t5_text_embeddings": jnp.asarray(t5),
+        "clip_text_embeddings": jnp.asarray(clip),
+    }
+    params = jax.jit(ours._score_network.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, 16, 16, 1)), init_ctx
+    )
+    params = import_score_network_params(cfg, params, {
+        k: v.detach().numpy() for k, v in ref_sd.items()
+    })
+
+    with torch.no_grad():
+        ref_samples, _ = ref_model.sample(
+            context={
+                "t5_text_embeddings": torch.from_numpy(t5),
+                "clip_text_embeddings": torch.from_numpy(clip),
+            },
+            num_samples=2,
+            num_sampling_steps=5,
+            sampler=RefRF(),
+            initial_noise=torch.from_numpy(noise),
+        )
+    ref_samples = ref_samples.numpy()
+
+    our_samples = ours.sample(
+        params,
+        jax.random.PRNGKey(1),
+        num_samples=2,
+        context={
+            "t5_text_embeddings": jnp.asarray(t5),
+            "clip_text_embeddings": jnp.asarray(clip),
+        },
+        num_sampling_steps=5,
+        sampler=AncestralSampler(),
+        initial_noise=np.transpose(noise, (0, 2, 3, 1)),
+    )
+    our_samples = np.transpose(np.asarray(our_samples), (0, 3, 1, 2))
+    np.testing.assert_allclose(our_samples, ref_samples, atol=5e-4, rtol=5e-3)
+
+
 def test_pixart_forward_matches_reference():
     """PixArt-alpha golden parity (reference score_networks/pixart.py:
     123-359) on an offline fixture config: adaLN-single blocks with

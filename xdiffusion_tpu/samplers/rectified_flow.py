@@ -28,14 +28,19 @@ class AncestralSampler(ReverseProcessSampler):
         sde = process.sde()
         eps = 1e-3
         idx = np.arange(num_steps - 1, -1, -1, dtype=np.int32)
-        # Reverse the index so ODE time ascends as the scan progresses.
-        fwd = num_steps - (idx + 1)
-        num_t = fwd.astype(np.float32) / num_steps * (sde.T - eps) + eps
+        # Reference semantics (samplers/rectified_flow.py:48-57): the
+        # index flip and the time mapping use the SDE's full N — not the
+        # respaced step count — and dt is always 1/N. With num_steps < N
+        # this integrates only the final num_steps/N of the ODE (a
+        # reference quirk kept for golden parity; at num_steps == N, the
+        # full-ladder operating point, both readings coincide).
+        fwd = sde.N - (idx + 1)
+        num_t = fwd.astype(np.float32) / sde.N * (sde.T - eps) + eps
         return {
             "timestep_idx": jnp.asarray(idx),
             "timestep": jnp.asarray(num_t),
             "is_last": jnp.asarray(idx == 0),
-            "dt": jnp.full((num_steps,), 1.0 / num_steps, dtype=np.float32),
+            "dt": jnp.full((num_steps,), 1.0 / sde.N, dtype=np.float32),
         }
 
     def p_sample(
