@@ -185,3 +185,74 @@ def test_edm_precond_end_to_end_matches_reference():
     our_out = precond.apply(params, x.transpose(0, 2, 3, 1), sigma)
     our_out = np.transpose(np.asarray(our_out), (0, 3, 1, 2))
     np.testing.assert_allclose(our_out, ref_out, atol=5e-4, rtol=5e-3)
+
+
+def test_edm_heun_trajectory_matches_reference():
+    """Full EDM sampling parity on the shipped edm.yaml: the 6-step
+    deterministic Heun trajectory (S_churn=0) from identical latents and
+    imported weights matches the reference StochasticSampler
+    (reference samplers/edm.py:36-137)."""
+    import types
+
+    import torch
+
+    try:
+        import_reference()
+    except ImportError as e:
+        pytest.skip(f"reference import failed: {e}")
+    from xdiffusion.samplers.edm import StochasticSampler as RefSampler
+    from xdiffusion.utils import instantiate_from_config as ref_instantiate
+    from xdiffusion.utils import load_yaml as ref_load_yaml
+
+    import jax
+
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.diffusion.edm import GaussianDiffusion_EDM
+    from xdiffusion_tpu.importers import import_score_network_params
+    from xdiffusion_tpu.samplers.edm import StochasticSampler
+    from xdiffusion_tpu.utils import unnormalize_to_zero_to_one
+
+    config_path = "/root/reference/configs/image/mnist/edm.yaml"
+    torch.manual_seed(5)
+    ref_cfg = ref_load_yaml(config_path)
+    ref_net = ref_instantiate(
+        ref_cfg.diffusion.score_network.to_dict()
+    ).eval()
+    from tests.reference_helpers import randomize_zero_init
+
+    torch_sd = randomize_zero_init(ref_net.state_dict())
+    ref_net.load_state_dict(torch_sd)
+
+    cfg = load_yaml(config_path)
+    model = GaussianDiffusion_EDM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = import_score_network_params(
+        cfg, params, {k: v.detach().numpy() for k, v in torch_sd.items()}
+    )
+
+    rng = np.random.default_rng(21)
+    latents = rng.standard_normal((2, 1, 32, 32), dtype=np.float32)
+
+    kwargs = dict(num_steps=6, S_churn=0.0)
+    with torch.no_grad():
+        ref_x0 = RefSampler(**kwargs).p_sample_loop(
+            types.SimpleNamespace(_score_network=ref_net),
+            torch.from_numpy(latents),
+            class_labels=None,
+        )
+    ref_samples = np.asarray(
+        unnormalize_to_zero_to_one(
+            np.transpose(ref_x0.to(torch.float32).numpy(), (0, 2, 3, 1))
+        )
+    )
+
+    our_samples = np.asarray(
+        model.sample(
+            params,
+            jax.random.PRNGKey(1),
+            num_samples=2,
+            sampler=StochasticSampler(**kwargs),
+            initial_noise=np.transpose(latents, (0, 2, 3, 1)),
+        )
+    )
+    np.testing.assert_allclose(our_samples, ref_samples, atol=1e-3, rtol=5e-3)
