@@ -256,3 +256,84 @@ def test_edm_heun_trajectory_matches_reference():
         )
     )
     np.testing.assert_allclose(our_samples, ref_samples, atol=1e-3, rtol=5e-3)
+
+
+def test_onestep_consistency_sampling_matches_reference():
+    """One-step consistency sampling parity on the shipped
+    consistency_model.yaml: x0 = clamp(f(latents*sigma_max, sigma_max))
+    from identical latents and imported EDMPrecond/SongUNet weights
+    (reference samplers/consistency.py:11-85)."""
+    import types
+
+    import torch
+
+    try:
+        import_reference()
+    except ImportError as e:
+        pytest.skip(f"reference import failed: {e}")
+    from xdiffusion.samplers.consistency import (
+        OneStepConsistencySampler as RefSampler,
+    )
+    from xdiffusion.utils import instantiate_from_config as ref_instantiate
+    from xdiffusion.utils import load_yaml as ref_load_yaml
+
+    import jax
+
+    from tests.reference_helpers import randomize_zero_init
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.diffusion.consistency import (
+        GaussianDiffusion_ConsistencyModel,
+    )
+    from xdiffusion_tpu.importers import import_score_network_params
+    from xdiffusion_tpu.samplers.consistency import OneStepConsistencySampler
+    from xdiffusion_tpu.utils import unnormalize_to_zero_to_one
+
+    config_path = "/root/reference/configs/image/mnist/consistency_model.yaml"
+    torch.manual_seed(9)
+    ref_cfg = ref_load_yaml(config_path)
+    ref_net = ref_instantiate(
+        ref_cfg.diffusion.score_network.to_dict()
+    ).eval()
+    torch_sd = randomize_zero_init(ref_net.state_dict())
+    ref_net.load_state_dict(torch_sd)
+
+    cfg = load_yaml(config_path)
+    model = GaussianDiffusion_ConsistencyModel(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    score = import_score_network_params(
+        cfg,
+        params["score"],
+        {k: v.detach().numpy() for k, v in torch_sd.items()},
+    )
+    params = dict(params, score=score)
+    if "ema" in params:
+        params["ema"] = jax.tree_util.tree_map(lambda a: a, score)
+
+    rng = np.random.default_rng(33)
+    latents = rng.standard_normal((2, 1, 32, 32), dtype=np.float32)
+
+    with torch.no_grad():
+        ref_x0 = RefSampler(
+            sigma_min=0.002, sigma_max=80.0, rho=7.0, clip_denoised=True
+        ).p_sample_loop(
+            types.SimpleNamespace(
+                _score_network=ref_net, _score_network_ema=None
+            ),
+            torch.from_numpy(latents),
+        )
+    ref_samples = np.asarray(
+        unnormalize_to_zero_to_one(
+            np.transpose(ref_x0.numpy(), (0, 2, 3, 1))
+        )
+    )
+
+    our_samples = np.asarray(
+        model.sample(
+            params,
+            jax.random.PRNGKey(1),
+            num_samples=2,
+            sampler=OneStepConsistencySampler(),
+            initial_noise=np.transpose(latents, (0, 2, 3, 1)),
+        )
+    )
+    np.testing.assert_allclose(our_samples, ref_samples, atol=1e-3, rtol=5e-3)
