@@ -337,3 +337,84 @@ def test_onestep_consistency_sampling_matches_reference():
         )
     )
     np.testing.assert_allclose(our_samples, ref_samples, atol=1e-3, rtol=5e-3)
+
+
+@pytest.mark.parametrize(
+    "point",
+    [
+        dict(solver="euler", discretization="vp", schedule="vp",
+             scaling="vp"),
+        dict(solver="heun", discretization="edm", schedule="linear",
+             scaling="none"),
+    ],
+)
+def test_generalized_sampler_trajectory_matches_reference(point):
+    """Generalized ablation-sampler parity (reference samplers/
+    edm.py:139-338): deterministic (S_churn=0) VP/Euler and EDM/Heun
+    design points produce the same trajectory from identical latents
+    and imported weights on the shipped edm.yaml."""
+    import types
+
+    import torch
+
+    try:
+        import_reference()
+    except ImportError as e:
+        pytest.skip(f"reference import failed: {e}")
+    from xdiffusion.samplers.edm import (
+        GeneralizedStochasticSampler as RefSampler,
+    )
+    from xdiffusion.utils import instantiate_from_config as ref_instantiate
+    from xdiffusion.utils import load_yaml as ref_load_yaml
+
+    import jax
+
+    from tests.reference_helpers import randomize_zero_init
+    from xdiffusion_tpu.config import load_yaml
+    from xdiffusion_tpu.diffusion.edm import GaussianDiffusion_EDM
+    from xdiffusion_tpu.importers import import_score_network_params
+    from xdiffusion_tpu.samplers.edm import GeneralizedStochasticSampler
+    from xdiffusion_tpu.utils import unnormalize_to_zero_to_one
+
+    config_path = "/root/reference/configs/image/mnist/edm.yaml"
+    torch.manual_seed(13)
+    ref_cfg = ref_load_yaml(config_path)
+    ref_net = ref_instantiate(
+        ref_cfg.diffusion.score_network.to_dict()
+    ).eval()
+    torch_sd = randomize_zero_init(ref_net.state_dict())
+    ref_net.load_state_dict(torch_sd)
+
+    cfg = load_yaml(config_path)
+    model = GaussianDiffusion_EDM(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = import_score_network_params(
+        cfg, params, {k: v.detach().numpy() for k, v in torch_sd.items()}
+    )
+
+    rng = np.random.default_rng(55)
+    latents = rng.standard_normal((2, 1, 32, 32), dtype=np.float32)
+    kwargs = dict(num_steps=4, S_churn=0.0, **point)
+
+    with torch.no_grad():
+        ref_x0 = RefSampler(**kwargs).p_sample_loop(
+            types.SimpleNamespace(_score_network=ref_net),
+            torch.from_numpy(latents),
+            class_labels=None,
+        )
+    ref_samples = np.asarray(
+        unnormalize_to_zero_to_one(
+            np.transpose(ref_x0.to(torch.float32).numpy(), (0, 2, 3, 1))
+        )
+    )
+
+    our_samples = np.asarray(
+        model.sample(
+            params,
+            jax.random.PRNGKey(1),
+            num_samples=2,
+            sampler=GeneralizedStochasticSampler(**kwargs),
+            initial_noise=np.transpose(latents, (0, 2, 3, 1)),
+        )
+    )
+    np.testing.assert_allclose(our_samples, ref_samples, atol=1e-3, rtol=5e-3)
