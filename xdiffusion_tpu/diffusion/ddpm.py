@@ -358,12 +358,17 @@ class GaussianDiffusion_DDPM:
         context: Dict,
         timesteps: Optional[jax.Array] = None,
         loss_weights: Optional[jax.Array] = None,
+        noise: Optional[jax.Array] = None,
+        deterministic: bool = False,
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Training objective on an NHWC batch in [0, 1]. Pure and jit-safe.
 
         When the configured importance sampler is host-side (loss-history
         based), `timesteps`/`loss_weights` are supplied by the train loop;
-        otherwise times are drawn from `rng` on-device.
+        otherwise times are drawn from `rng` on-device. `noise` injects the
+        epsilon target and `deterministic=True` disables dropout — both are
+        for golden-parity tests against the reference loss
+        (reference ddpm.py:208-210), never set by the train loops.
         """
         b = images.shape[0]
         context = dict(context)
@@ -396,7 +401,11 @@ class GaussianDiffusion_DDPM:
             context["logsnr_t"] = self._noise_scheduler.logsnr(t)
         context["timestep"] = t
 
-        epsilon = jax.random.normal(rng_eps, z_0.shape, dtype=z_0.dtype)
+        epsilon = (
+            noise
+            if noise is not None
+            else jax.random.normal(rng_eps, z_0.shape, dtype=z_0.dtype)
+        )
         x_t = self._noise_scheduler.q_sample(x_start=z_0, t=t, noise=epsilon)
 
         # Masked video diffusion (FDM/OpenSora): conditioned frames keep
@@ -448,7 +457,7 @@ class GaussianDiffusion_DDPM:
         context["preprocessor_rng"] = jax.random.fold_in(rng_drop, 7)
         x_in = self.process_input(x_t, context)
         model_output = self.predict_score(
-            params, x_in, context, deterministic=False, rng=rng_drop
+            params, x_in, context, deterministic=deterministic, rng=rng_drop
         )
 
         if self._is_learned_sigma:

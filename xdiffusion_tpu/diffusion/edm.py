@@ -36,10 +36,13 @@ class VPLoss:
         t = jnp.asarray(t, dtype=jnp.float32)
         return jnp.sqrt(jnp.exp(0.5 * self.beta_d * t**2 + self.beta_min * t) - 1.0)
 
+    def weight(self, sigma):
+        return 1.0 / sigma**2
+
     def sample_sigma_weight(self, rng, batch):
         u = jax.random.uniform(rng, (batch,))
         sigma = self.sigma(1.0 + u * (self.epsilon_t - 1.0))
-        return sigma, 1.0 / sigma**2
+        return sigma, self.weight(sigma)
 
 
 class VELoss:
@@ -49,10 +52,13 @@ class VELoss:
         self.sigma_min = float(sigma_min)
         self.sigma_max = float(sigma_max)
 
+    def weight(self, sigma):
+        return 1.0 / sigma**2
+
     def sample_sigma_weight(self, rng, batch):
         u = jax.random.uniform(rng, (batch,))
         sigma = self.sigma_min * (self.sigma_max / self.sigma_min) ** u
-        return sigma, 1.0 / sigma**2
+        return sigma, self.weight(sigma)
 
 
 class EDMLoss:
@@ -64,11 +70,13 @@ class EDMLoss:
         self.P_std = float(P_std)
         self.sigma_data = float(sigma_data)
 
+    def weight(self, sigma):
+        return (sigma**2 + self.sigma_data**2) / (sigma * self.sigma_data) ** 2
+
     def sample_sigma_weight(self, rng, batch):
         n = jax.random.normal(rng, (batch,))
         sigma = jnp.exp(n * self.P_std + self.P_mean)
-        weight = (sigma**2 + self.sigma_data**2) / (sigma * self.sigma_data) ** 2
-        return sigma, weight
+        return sigma, self.weight(sigma)
 
 
 class GaussianDiffusion_EDM:
@@ -114,21 +122,37 @@ class GaussianDiffusion_EDM:
         context: Dict,
         timesteps=None,
         loss_weights=None,
+        sigma=None,
+        noise=None,
+        deterministic: bool = False,
     ) -> Tuple[jax.Array, Dict]:
+        """`sigma` injects the per-example noise levels and `noise` the
+        UNIT-normal draw (scaled by sigma inside, matching the reference's
+        `torch.randn_like(y) * sigma`, diffusion/edm.py:330-337); both are
+        for golden-parity tests, never set by the train loops."""
         b = images.shape[0]
         rng_sigma, rng_noise, rng_drop = jax.random.split(rng, 3)
         y = normalize_to_neg_one_to_one(images)
         labels = context.get("classes")
 
-        sigma, weight = self._loss.sample_sigma_weight(rng_sigma, b)
+        if sigma is not None:
+            sigma = jnp.asarray(sigma, dtype=jnp.float32)
+            weight = self._loss.weight(sigma)
+        else:
+            sigma, weight = self._loss.sample_sigma_weight(rng_sigma, b)
         sigma_e = sigma.reshape((-1,) + (1,) * (y.ndim - 1))
-        n = jax.random.normal(rng_noise, y.shape) * sigma_e
+        unit = (
+            jnp.asarray(noise)
+            if noise is not None
+            else jax.random.normal(rng_noise, y.shape)
+        )
+        n = unit * sigma_e
         d_yn = self._net.apply(
             params,
             y + n,
             sigma,
             class_labels=labels,
-            deterministic=False,
+            deterministic=deterministic,
             rng=rng_drop,
         )
         per_example = mean_flat(
