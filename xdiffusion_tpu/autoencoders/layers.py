@@ -19,8 +19,14 @@ from xdiffusion_tpu.layers.resnet import avg_pool_2x, nearest_upsample_2x
 def _gn(c: int, name: str, silu: bool = False):
     from xdiffusion_tpu.layers.resnet import FastGroupNorm
 
+    # eps=1e-6: the reference VAE's Normalize() overrides torch's GroupNorm
+    # default (reference autoencoders/layers.py:322-325); imported reference
+    # checkpoints must normalize exactly as trained.
     return FastGroupNorm(
-        num_groups=32 if c % 32 == 0 else max(1, c // 4), silu=silu, name=name
+        num_groups=32 if c % 32 == 0 else max(1, c // 4),
+        epsilon=1e-6,
+        silu=silu,
+        name=name,
     )
 
 
@@ -44,16 +50,24 @@ class VAEResnetBlock(nn.Module):
 
 
 class VAEAttnBlock(nn.Module):
+    """Single-head spatial self-attention over all h*w tokens.
+
+    Matches the reference's LDM `AttnBlock` exactly (reference
+    autoencoders/attention.py:35-78): separate q/k/v/proj 1x1 convs
+    (= Dense over the channel axis) and ONE head with scale c**-0.5 —
+    not multi-head — so imported torch checkpoints reproduce outputs.
+    """
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         from xdiffusion_tpu.ops import attention_qkv
 
         b, h, w, c = x.shape
         n = _gn(c, "norm")(x).reshape(b, h * w, c)
-        qkv = nn.Dense(3 * c, name="qkv")(n)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        heads = max(1, c // 64)
-        out = attention_qkv(q, k, v, heads=heads)
+        q = nn.Dense(c, name="q")(n)
+        k = nn.Dense(c, name="k")(n)
+        v = nn.Dense(c, name="v")(n)
+        out = attention_qkv(q, k, v, heads=1)
         out = nn.Dense(c, kernel_init=nn.initializers.zeros, name="proj")(out)
         return x + out.reshape(b, h, w, c)
 
