@@ -53,6 +53,21 @@ def import_reference():
         tr.v2 = types.SimpleNamespace()
         _stub("torchvision.transforms.v2")
         tv.transforms = tr
+    # The reference autoencoders/losses.py imports torchvision.models and
+    # torch_dwt.functional.dwt3 at module import time (losses.py:11-12);
+    # hunyuan.py pulls losses in transitively. Only the attributes need to
+    # exist for import — VGG/LPIPS weights never load in this env.
+    tv_mod = sys.modules.get("torchvision")
+    if tv_mod is not None and not hasattr(tv_mod, "models"):
+        tv_models = _stub("torchvision.models")
+        tv_mod.models = tv_models
+    try:
+        import torch_dwt  # noqa: F401
+    except Exception:
+        td = _stub("torch_dwt")
+        tdf = _stub("torch_dwt.functional")
+        tdf.dwt3 = None
+        td.functional = tdf
     _install_functional_xformers()
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)

@@ -29,7 +29,7 @@ from flax import linen as nn
 from xdiffusion_tpu.autoencoders.base import VariationalAutoEncoder
 from xdiffusion_tpu.autoencoders.causal_video import _moments_to_distribution
 from xdiffusion_tpu.config import DotConfig
-from xdiffusion_tpu.layers.embedding import sinusoidal_embedding
+from xdiffusion_tpu.layers.embedding import glide_timestep_embedding
 
 Dims = Union[int, Tuple[int, int]]
 
@@ -109,9 +109,16 @@ def make_conv_nd(
     kernel_size: int = 3,
     strides: Tuple[int, int, int] = (1, 1, 1),
     causal: bool = False,
+    padding: int = 0,
     name: Optional[str] = None,
 ):
-    """Reference make_conv_nd (ltx_vae.py:670-724) for the 3D cases."""
+    """Reference make_conv_nd (ltx_vae.py:670-724) for the 3D cases.
+
+    `padding` mirrors the reference's default-0 argument: CausalConv3d
+    ignores it (it pads itself — spatial k//2, temporal causal), but
+    DualConv3d honors it, so for dims=(2,1) the reference's compress and
+    DepthToSpaceUpsample convs (which don't pass padding) run UNPADDED
+    and shrink the map — byte-parity requires mirroring that."""
     k = (kernel_size,) * 3
     if dims == 3 or dims == (3,):
         return CausalConv3d(
@@ -119,7 +126,7 @@ def make_conv_nd(
         )
     if tuple(dims) == (2, 1) if isinstance(dims, (list, tuple)) else False:
         return DualConv3d(
-            features, k, strides, padding=(k[0] // 2,) * 3, name=name
+            features, k, strides, padding=(padding,) * 3, name=name
         )
     raise ValueError(f"unsupported dims for video VAE: {dims}")
 
@@ -156,13 +163,16 @@ class _Norm(nn.Module):
 class _TimestepEmbedder(nn.Module):
     """PixArt-style combined timestep embedder: sinusoidal(256) -> MLP
     (reference PixArtAlphaCombinedTimestepSizeEmbeddings usage,
-    ltx_vae.py:1253-1257,604-610)."""
+    ltx_vae.py:1253-1257,604-610). The sinusoid is the GLIDE/DiT variant
+    (cos-first, `half` divisor) that diffusers' Timesteps(256,
+    flip_sin_to_cos=True, downscale_freq_shift=0) computes — NOT the
+    transformer sinusoid."""
 
     dim: int
 
     @nn.compact
     def __call__(self, t: jax.Array) -> jax.Array:
-        h = sinusoidal_embedding(t.reshape(-1), 256, max_time=1000.0)
+        h = glide_timestep_embedding(t.reshape(-1), 256)
         h = nn.Dense(self.dim, name="fc1")(h)
         return nn.Dense(self.dim, name="fc2")(nn.silu(h))
 
@@ -210,7 +220,7 @@ class ResnetBlock3D(nn.Module):
 
         h = nn.silu(h)
         h = make_conv_nd(
-            self.dims, self.features, 3, causal=True, name="conv1"
+            self.dims, self.features, 3, causal=True, padding=1, name="conv1"
         )(h, causal=causal)
 
         if self.inject_noise:
@@ -232,7 +242,7 @@ class ResnetBlock3D(nn.Module):
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = make_conv_nd(
-            self.dims, self.features, 3, causal=True, name="conv2"
+            self.dims, self.features, 3, causal=True, padding=1, name="conv2"
         )(h, causal=causal)
 
         if self.inject_noise:
@@ -275,8 +285,10 @@ class _MidBlockAttention(nn.Module):
         split = lambda t: t.reshape(b, -1, heads, self.head_dim).transpose(
             0, 2, 1, 3
         )
-        q = RMSNorm(dim=self.head_dim, name="q_norm")(split(q))
-        kk = RMSNorm(dim=self.head_dim, name="k_norm")(split(k))
+        # eps=1e-5: the reference's diffusers Attention default
+        # (layers/attention_diffusers.py:77), not RMSNorm's usual 1e-6.
+        q = RMSNorm(dim=self.head_dim, eps=1e-5, name="q_norm")(split(q))
+        kk = RMSNorm(dim=self.head_dim, eps=1e-5, name="k_norm")(split(k))
         out = dot_product_attention(q, kk, split(v))
         out = out.transpose(0, 2, 1, 3).reshape(b, f * h * w, c)
         out = nn.Dense(c, name="to_out")(out)
@@ -412,7 +424,9 @@ def unpatchify(x: jax.Array, patch_size_hw: int) -> jax.Array:
 
 
 def _as_block_params(p) -> Dict:
-    if isinstance(p, dict):
+    from collections.abc import Mapping
+
+    if isinstance(p, Mapping):
         return dict(p)
     if hasattr(p, "to_dict"):
         return p.to_dict()
@@ -435,7 +449,7 @@ class LTXEncoder(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         x = patchify(x, self.patch_size)
         out_ch = self.base_channels
-        x = make_conv_nd(self.dims, out_ch, 3, causal=True, name="conv_in")(x)
+        x = make_conv_nd(self.dims, out_ch, 3, causal=True, padding=1, name="conv_in")(x)
 
         for i, (block_name, raw) in enumerate(self.blocks):
             bp = _as_block_params(raw)
@@ -490,7 +504,7 @@ class LTXEncoder(nn.Module):
             conv_out = self.latent_channels
         else:
             raise ValueError(f"invalid latent_log_var {self.latent_log_var}")
-        x = make_conv_nd(self.dims, conv_out, 3, causal=True, name="conv_out")(x)
+        x = make_conv_nd(self.dims, conv_out, 3, causal=True, padding=1, name="conv_out")(x)
         return x
 
 
@@ -524,8 +538,10 @@ class LTXDecoder(nn.Module):
             if block_name == "compress_all":
                 out_ch = out_ch * int(bp.get("multiplier", 1))
 
-        x = make_conv_nd(self.dims, out_ch, 3, causal=True, name="conv_in")(
-            z, causal=True
+        # Reference decoder runs conv_in with its OWN causal flag
+        # (ltx_vae.py:619: self.conv_in(sample, causal=self.causal)).
+        x = make_conv_nd(self.dims, out_ch, 3, causal=True, padding=1, name="conv_in")(
+            z, causal=self.causal
         )
 
         scaled_timestep = None
@@ -629,6 +645,7 @@ class LTXDecoder(nn.Module):
             self.out_channels * self.patch_size**2,
             3,
             causal=True,
+            padding=1,
             name="conv_out",
         )(x, causal=self.causal)
         return unpatchify(x, self.patch_size)
