@@ -52,6 +52,13 @@ def build_sample_loop(
         initial_noise: Optional[jax.Array] = None,
     ) -> jax.Array:
         context = dict(context or {})
+        # Optional deterministic per-step noise, shape (T, *shape): scanned
+        # alongside the step context instead of drawn from the carried rng
+        # (reproducibility + cross-stack trajectory parity).
+        xs = dict(step_ctx)
+        noise_override = context.pop("sampling_noise", None)
+        if noise_override is not None:
+            xs["sampling_noise"] = jnp.asarray(noise_override)
         rng, init_rng = jax.random.split(rng)
         x_t = (
             initial_noise
@@ -96,7 +103,7 @@ def build_sample_loop(
                 x = jnp.where(mask, x, ctx["x0"])
             return (x, key), None
 
-        (x_0, _), _ = jax.lax.scan(body, (x_t, rng), step_ctx)
+        (x_0, _), _ = jax.lax.scan(body, (x_t, rng), xs)
         if unnormalize:
             x_0 = unnormalize_to_zero_to_one(x_0)
         return x_0

@@ -224,6 +224,50 @@ def _leaf_name(torch_base: str, flax_leaf: str) -> str:
     return torch_base + "." + flax_leaf
 
 
+_ST_LN_RE = re.compile(r"^ln([123])_(\d+)$")
+_ST_ATTN_RE = re.compile(r"^(self|cross)_(\d+)_(q|k|v|out)$")
+_ST_FF_RE = re.compile(r"^ff_(geglu|out)_(\d+)$")
+
+
+def _conv2d_1x1_dense(w: Array) -> Array:
+    """torch Conv2d(k=1) channel mixer (O, I, 1, 1) -> Dense (I, O)."""
+    return w[:, :, 0, 0].T
+
+
+def _spatial_transformer_leaf(base: str, sub: Tuple[str, ...]):
+    """Leaves of our flax SpatialTransformer (layers/transformer.py) ->
+    the reference SpatialTransformer module tree: norm / proj_in /
+    transformer_blocks.{i}.(norm1..3, attn1/attn2 to_q/k/v/out,
+    ff.net.0.proj GEGLU, ff.net.2) / proj_out."""
+    child, leaf = sub[0], sub[-1]
+    if child == "norm":
+        return (_leaf_name(f"{base}.norm", leaf), _identity)
+    if child in ("proj_in", "proj_out"):
+        if leaf == "kernel":
+            return (f"{base}.{child}.weight", _conv2d_1x1_dense)
+        return (f"{base}.{child}.bias", _identity)
+    m = _ST_LN_RE.match(child)
+    if m:
+        tb = f"{base}.transformer_blocks.{m.group(2)}.norm{m.group(1)}"
+        return (_leaf_name(tb, leaf), _identity)
+    m = _ST_ATTN_RE.match(child)
+    if m:
+        attn = "attn1" if m.group(1) == "self" else "attn2"
+        proj = "to_out" if m.group(3) == "out" else f"to_{m.group(3)}"
+        tb = f"{base}.transformer_blocks.{m.group(2)}.{attn}.{proj}"
+        return (
+            _leaf_name(tb, leaf), _dense if leaf == "kernel" else _identity
+        )
+    m = _ST_FF_RE.match(child)
+    if m:
+        net = "net.0.proj" if m.group(1) == "geglu" else "net.2"
+        tb = f"{base}.transformer_blocks.{m.group(2)}.ff.{net}"
+        return (
+            _leaf_name(tb, leaf), _dense if leaf == "kernel" else _identity
+        )
+    return None
+
+
 def _make_unet_resolve(
     sd: Dict[str, Array], heads: int, dim_head: int
 ) -> Callable[[Tuple[str, ...]], Optional[Tuple[str, Transform]]]:
@@ -275,6 +319,14 @@ def _make_unet_resolve(
             base = f"{pyramid}.{i}.{j}"
 
         child = path[1]
+        # SpatialTransformer attention sites (LDM cross-attention,
+        # reference layers/transformer.py:103-246) — distinguished from
+        # the plain attention block by the transformer_blocks subtree.
+        if f"{base}.transformer_blocks.0.norm1.weight" in sd:
+            st = _spatial_transformer_leaf(base, path[1:])
+            if st is not None:
+                return st
+
         # Residual blocks — two torch dialects (BigGAN vs DDPM naming).
         table = (
             _BIGGAN_RES

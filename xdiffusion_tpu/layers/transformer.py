@@ -109,11 +109,14 @@ class GLIDETransformerWrapper(nn.Module):
 
 
 class SpatialTransformer(nn.Module):
-    """LDM-style spatial transformer block over an NHWC feature map
-    (reference: layers/transformer.py SpatialTransformer): GroupNorm +
-    1x1 in-projection, num_layers x (self-attn, cross-attn over the text
-    sequence, gelu MLP), zero-init 1x1 out-projection, residual. Used as
-    the per-resolution context transformer in the CLIP-conditioned UNets.
+    """LDM-style spatial transformer over an NHWC feature map, faithful
+    to the reference (layers/transformer.py:103-246): GroupNorm(32,
+    eps=1e-6) + 1x1 in-projection to inner_dim, num_layers x
+    [norm1 -> self-attn, norm2 -> cross-attn (self when no context),
+    norm3 -> GEGLU feed-forward], zero-init 1x1 out-projection, residual.
+    Attention is LastChannelCrossAttention (attention.py:191-228):
+    bias-free q/k/v, biased out-projection, scale = dim_head**-0.5.
+    GEGLU uses the exact (erf) gelu, matching torch's default.
     """
 
     in_channels: int
@@ -135,7 +138,9 @@ class SpatialTransformer(nn.Module):
         from xdiffusion_tpu.layers.resnet import FastGroupNorm
 
         groups = 32 if c % 32 == 0 else max(1, c // 4)
-        h = FastGroupNorm(num_groups=groups, dtype=self.dtype, name="norm")(x)
+        h = FastGroupNorm(
+            num_groups=groups, epsilon=1e-6, dtype=self.dtype, name="norm"
+        )(x)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(
             h.reshape(b, hh * ww, c)
         )
@@ -152,35 +157,50 @@ class SpatialTransformer(nn.Module):
                 enc = context.get(
                     "text_embeddings", context.get("context_embedding")
                 )
+            if enc is not None and enc.ndim == 2:
+                # (B, context_dim) -> one context token (reference
+                # transformer.py:237-239).
+                enc = enc[:, None, :]
 
         def mha(q_seq, kv_seq, name):
-            n_heads = self.attention_heads
-            d_head = inner // n_heads
-            q = nn.Dense(inner, dtype=self.dtype, name=f"{name}_q")(q_seq)
-            k = nn.Dense(inner, dtype=self.dtype, name=f"{name}_k")(kv_seq)
-            v = nn.Dense(inner, dtype=self.dtype, name=f"{name}_v")(kv_seq)
+            q = nn.Dense(
+                inner, use_bias=False, dtype=self.dtype, name=f"{name}_q"
+            )(q_seq)
+            k = nn.Dense(
+                inner, use_bias=False, dtype=self.dtype, name=f"{name}_k"
+            )(kv_seq)
+            v = nn.Dense(
+                inner, use_bias=False, dtype=self.dtype, name=f"{name}_v"
+            )(kv_seq)
             from xdiffusion_tpu.ops import attention_qkv
 
-            out = attention_qkv(q, k, v, heads=n_heads)
-            return nn.Dense(inner, dtype=self.dtype, name=f"{name}_proj")(out)
+            out = attention_qkv(q, k, v, heads=self.attention_heads)
+            return nn.Dense(inner, dtype=self.dtype, name=f"{name}_out")(out)
 
+        ln = lambda i, name: nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, name=f"{name}_{i}"
+        )
         for i in range(self.num_layers):
-            h = h + mha(
-                nn.LayerNorm(dtype=self.dtype, name=f"ln1_{i}")(h), h,
-                f"self_{i}",
+            # Self-attention: q, k, v ALL from the normalized input
+            # (reference attn1(norm1(x)) with context=None).
+            h1 = ln(i, "ln1")(h)
+            h = h + mha(h1, h1, f"self_{i}")
+            # Cross-attention; self-attention when no context (reference
+            # SpatialTransformerBlock.attn2).
+            kv = enc.astype(h.dtype) if enc is not None else None
+            h2 = ln(i, "ln2")(h)
+            h = h + mha(h2, kv if kv is not None else h2, f"cross_{i}")
+            ff_in = ln(i, "ln3")(h)
+            # GEGLU: proj to 2*(4*inner), value * gelu(gate) — exact gelu
+            # (torch F.gelu default), not tanh-approximate.
+            gg = nn.Dense(8 * inner, dtype=self.dtype, name=f"ff_geglu_{i}")(
+                ff_in
             )
-            if enc is not None:
-                h = h + mha(
-                    nn.LayerNorm(dtype=self.dtype, name=f"ln2_{i}")(h),
-                    enc.astype(h.dtype),
-                    f"cross_{i}",
-                )
-            ff_in = nn.LayerNorm(dtype=self.dtype, name=f"ln3_{i}")(h)
-            ff = nn.Dense(4 * inner, dtype=self.dtype, name=f"ff1_{i}")(ff_in)
-            ff = nn.gelu(ff, approximate=True)
+            val, gate = jnp.split(gg, 2, axis=-1)
+            ff = val * nn.gelu(gate, approximate=False)
             if self.dropout > 0.0:
                 ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-            h = h + nn.Dense(inner, dtype=self.dtype, name=f"ff2_{i}")(ff)
+            h = h + nn.Dense(inner, dtype=self.dtype, name=f"ff_out_{i}")(ff)
 
         out = nn.Dense(
             c, kernel_init=nn.initializers.zeros, dtype=self.dtype,

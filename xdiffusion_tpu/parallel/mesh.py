@@ -104,9 +104,9 @@ def fsdp_param_shardings(params, mesh: Mesh):
 # per block on the row-parallel matmuls — no shard_map or manual psum.
 _TP_COLUMN_PATTERNS = (r"qkv/kernel$", r"qkv/bias$", r"mlp_fc1/kernel$",
                        r"mlp_fc1/bias$", r"kv/kernel$", r"kv/bias$",
-                       r"q/kernel$", r"q/bias$", r"ff1_\d+/kernel$")
+                       r"q/kernel$", r"q/bias$", r"ff_geglu_\d+/kernel$")
 _TP_ROW_PATTERNS = (r"attn/proj/kernel$", r"mlp_fc2/kernel$",
-                    r"cross_attn/proj/kernel$", r"ff2_\d+/kernel$")
+                    r"cross_attn/proj/kernel$", r"ff_out_\d+/kernel$")
 
 
 def tensor_param_shardings(params, mesh: Mesh, fsdp_fallback: bool = True):

@@ -89,8 +89,12 @@ class AncestralSampler(ReverseProcessSampler):
             gradient = guidance_fn(x, context["timestep"], context.get("classes"))
             mean = mean + variance * gradient
 
-        noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
-        x_prev = mean + jnp.exp(0.5 * log_variance) * noise
+        # Deterministic noise override (reproducibility / cross-stack
+        # trajectory tests); threaded per step by the sample loop.
+        noise = context.get("sampling_noise")
+        if noise is None:
+            noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
+        x_prev = mean + jnp.exp(0.5 * log_variance) * noise.astype(x.dtype)
         is_last = context["is_last"]
         return jnp.where(is_last, x_hat, x_prev)
 
