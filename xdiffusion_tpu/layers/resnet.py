@@ -21,6 +21,12 @@ from flax import linen as nn
 # (ops/group_norm.py). Off by default until it wins on the bench.
 _FUSED_NORM = os.environ.get("XDIFFUSION_FUSED_NORM", "0") == "1"
 
+# Fuse the whole norm->SiLU->conv3x3 interior (and the closing skip-add)
+# of eligible residual blocks into one Pallas kernel per conv
+# (ops/fused_resblock.py) — the batch-scaling byte-reduction lever.
+# Off by default until it wins on the bench.
+_FUSED_RESBLOCK = os.environ.get("XDIFFUSION_FUSED_RESBLOCK", "0") == "1"
+
 
 class FastGroupNorm(nn.Module):
     """Drop-in GroupNorm (param-compatible with nn.GroupNorm) routed
@@ -50,6 +56,8 @@ class FastGroupNorm(nn.Module):
         x: jax.Array,
         t_scale: Optional[jax.Array] = None,
         t_shift: Optional[jax.Array] = None,
+        channel_shift: Optional[jax.Array] = None,
+        return_coefficients: bool = False,
     ) -> jax.Array:
         from xdiffusion_tpu.ops.norm import (
             _apply_affine,
@@ -61,6 +69,23 @@ class FastGroupNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if return_coefficients:
+            # Fused-conv path (ops/fused_resblock.py): hand back the
+            # per-(B, C) fp32 affine so the normalize+SiLU application can
+            # ride the conv's input load instead of its own HBM pass.
+            # channel_shift folds additive timestep conditioning
+            # (norm(h + emb)) into the coefficients in closed form.
+            assert self.stat_frames == 1
+            a, off = group_norm_coefficients(
+                x, scale, bias, self.num_groups, self.epsilon,
+                channel_shift=channel_shift,
+            )
+            if t_scale is not None:
+                ts = t_scale.reshape(x.shape[0], -1).astype(jnp.float32)
+                tsh = t_shift.reshape(x.shape[0], -1).astype(jnp.float32)
+                a, off = a * (1.0 + ts), off * (1.0 + ts) + tsh
+            return a, off
 
         if self.stat_frames > 1:
             # Statistics over the UNFOLDED (B, F, ..., C) view so all of
@@ -127,6 +152,37 @@ def _norm_silu(x, c: int, name: str, dtype, stat_frames: int = 1):
     if _FUSED_NORM and stat_frames == 1:
         return FusedGroupNormSiLU(channels=c, dtype=dtype, name=name)(x)
     return _group_norm(c, name, dtype, silu=True, stat_frames=stat_frames)(x)
+
+
+class _FusedAffineConv(nn.Module):
+    """3x3 'SAME' conv whose input load applies a per-(B, C) affine + SiLU
+    and whose epilogue adds an optional residual — parameter-compatible
+    with the `nn.Conv` it replaces (same kernel/bias names, shapes, and
+    initializers), so checkpoints are interchangeable with the unfused
+    path."""
+
+    features: int
+    zero_init: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, a, off, residual=None):
+        from xdiffusion_tpu.ops.fused_resblock import affine_silu_conv3x3
+
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros
+            if self.zero_init
+            else nn.initializers.lecun_normal(),
+            (3, 3, c, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return affine_silu_conv3x3(
+            x.astype(self.dtype), a, off, kernel.astype(self.dtype), bias,
+            residual=residual if residual is None
+            else residual.astype(self.dtype),
+        )
 
 
 def nearest_upsample_2x(x: jax.Array) -> jax.Array:
@@ -217,16 +273,36 @@ class ResnetBlockBigGAN(nn.Module):
         self, x: jax.Array, context: Dict, deterministic: bool = True
     ) -> jax.Array:
         dim_in = x.shape[-1]
-        h = _norm_silu(
-            x, dim_in, "norm1", self.dtype, stat_frames=self.stat_frames
+        # Fused interior: normalize+SiLU rides each conv's input load, and
+        # the skip-add rides conv2's epilogue (ops/fused_resblock.py) —
+        # one fewer HBM round-trip per norm site. Ineligible: resampling
+        # blocks (the resample sits between norm1 and conv1), shared-stat
+        # video blocks, non-4D maps, and the training dropout path (the
+        # mask sits between norm2 and conv2).
+        fused = (
+            _FUSED_RESBLOCK
+            and self.stat_frames == 1
+            and not (self.up or self.down)
+            and x.ndim == 4
         )
-        if self.up:
-            h = nearest_upsample_2x(h)
-            x = nearest_upsample_2x(x)
-        elif self.down:
-            h = avg_pool_2x(h)
-            x = avg_pool_2x(x)
-        h = nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="conv1")(h)
+        if fused:
+            a1, o1 = _group_norm(dim_in, "norm1", self.dtype)(
+                x, return_coefficients=True
+            )
+            h = _FusedAffineConv(
+                self.dim_out, dtype=self.dtype, name="conv1"
+            )(x, a1, o1)
+        else:
+            h = _norm_silu(
+                x, dim_in, "norm1", self.dtype, stat_frames=self.stat_frames
+            )
+            if self.up:
+                h = nearest_upsample_2x(h)
+                x = nearest_upsample_2x(x)
+            elif self.down:
+                h = avg_pool_2x(h)
+                x = avg_pool_2x(x)
+            h = nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="conv1")(h)
 
         emb = context["timestep_embedding"]
         if "class_embedding" in context:
@@ -246,6 +322,30 @@ class ResnetBlockBigGAN(nn.Module):
             self.dim_out, "norm2", self.dtype, silu=True,
             stat_frames=self.stat_frames,
         )
+        dropping = self.dropout > 0.0 and not deterministic
+        if fused and not dropping:
+            if self.use_scale_shift_norm:
+                scale, shift = jnp.split(emb_out, 2, axis=-1)
+                a2, o2 = norm2(
+                    h, t_scale=scale, t_shift=shift, return_coefficients=True
+                )
+            else:
+                a2, o2 = norm2(
+                    h, channel_shift=emb_out, return_coefficients=True
+                )
+            if dim_in != self.dim_out:
+                if self.use_conv:
+                    x = nn.Conv(
+                        self.dim_out, (3, 3), dtype=self.dtype, name="skip"
+                    )(x)
+                else:
+                    x = nn.Conv(
+                        self.dim_out, (1, 1), dtype=self.dtype, name="skip"
+                    )(x)
+            return _FusedAffineConv(
+                self.dim_out, zero_init=True, dtype=self.dtype, name="conv2"
+            )(h, a2, o2, residual=x)
+
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = norm2(h, t_scale=scale, t_shift=shift)
@@ -285,11 +385,22 @@ class ResnetBlockDDPM(nn.Module):
         self, x: jax.Array, context: Dict, deterministic: bool = True
     ) -> jax.Array:
         dim_in = x.shape[-1]
-        h = _group_norm(
-            dim_in, "norm1", self.dtype, silu=True,
-            stat_frames=self.stat_frames,
-        )(x)
-        h = nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="conv1")(h)
+        fused = (
+            _FUSED_RESBLOCK and self.stat_frames == 1 and x.ndim == 4
+        )
+        if fused:
+            a1, o1 = _group_norm(dim_in, "norm1", self.dtype)(
+                x, return_coefficients=True
+            )
+            h = _FusedAffineConv(
+                self.dim_out, dtype=self.dtype, name="conv1"
+            )(x, a1, o1)
+        else:
+            h = _group_norm(
+                dim_in, "norm1", self.dtype, silu=True,
+                stat_frames=self.stat_frames,
+            )(x)
+            h = nn.Conv(self.dim_out, (3, 3), dtype=self.dtype, name="conv1")(h)
 
         emb = context["timestep_embedding"]
         if "class_embedding" in context:
@@ -309,6 +420,23 @@ class ResnetBlockDDPM(nn.Module):
             self.dim_out, "norm2", self.dtype, silu=True,
             stat_frames=self.stat_frames,
         )
+        dropping = self.dropout > 0.0 and not deterministic
+        if fused and not dropping:
+            if self.use_scale_shift_norm:
+                scale, shift = jnp.split(emb_out, 2, axis=-1)
+                a2, o2 = norm2(
+                    h, t_scale=scale, t_shift=shift, return_coefficients=True
+                )
+            else:
+                a2, o2 = norm2(
+                    h, channel_shift=emb_out, return_coefficients=True
+                )
+            if dim_in != self.dim_out:
+                x = nn.Dense(self.dim_out, dtype=self.dtype, name="skip")(x)
+            return _FusedAffineConv(
+                self.dim_out, dtype=self.dtype, name="conv2"
+            )(h, a2, o2, residual=x)
+
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = norm2(h, t_scale=scale, t_shift=shift)

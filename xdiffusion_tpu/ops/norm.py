@@ -36,22 +36,37 @@ def group_norm_coefficients(
     bias: jax.Array,
     num_groups: int,
     eps: float = 1e-5,
+    channel_shift: Optional[jax.Array] = None,
 ):
     """Per-(batch, channel) affine coefficients (a, b) such that
-    group_norm(x) == x * a + b. x: (B, ..., C); scale/bias: (C,)."""
+    group_norm(x) == x * a + b. x: (B, ..., C); scale/bias: (C,).
+
+    channel_shift (B, C): coefficients of group_norm(x + shift) expressed
+    as an affine of the UNSHIFTED x — the additive timestep-conditioning
+    case (norm2(h + emb), reference layers/resnet.py) without ever
+    materializing h + emb: a spatially-constant per-channel shift enters
+    the group statistics in closed form (s1 += n_sp*p, s2 += 2*p*s1 +
+    n_sp*p^2), and the application folds as (x+p)*a + off = x*a +
+    (off + p*a)."""
     c = x.shape[-1]
     b = x.shape[0]
     cg = c // num_groups
     spatial_axes = tuple(range(1, x.ndim - 1))
     n = cg
+    n_sp = 1
     for ax in spatial_axes:
-        n *= x.shape[ax]
+        n_sp *= x.shape[ax]
+    n *= n_sp
 
     xf = x.astype(jnp.float32)
     # Per-channel first moments over spatial axes; channel lanes untouched,
     # so the convert fuses into the reduce.
     s1 = jnp.sum(xf, axis=spatial_axes)            # (B, C)
     s2 = jnp.sum(jnp.square(xf), axis=spatial_axes)  # (B, C)
+    if channel_shift is not None:
+        p = channel_shift.reshape(b, c).astype(jnp.float32)
+        s2 = s2 + 2.0 * p * s1 + n_sp * jnp.square(p)
+        s1 = s1 + n_sp * p
     # Channel -> group aggregation on the tiny stat array.
     g1 = jnp.sum(s1.reshape(b, num_groups, cg), axis=-1)  # (B, G)
     g2 = jnp.sum(s2.reshape(b, num_groups, cg), axis=-1)
@@ -62,6 +77,8 @@ def group_norm_coefficients(
     mean_c = jnp.repeat(mean, cg, axis=1)
     a = inv_c * scale.astype(jnp.float32)[None, :]
     off = bias.astype(jnp.float32)[None, :] - mean_c * a
+    if channel_shift is not None:
+        off = off + p * a
     return a, off
 
 
