@@ -42,6 +42,7 @@ def main():
     p.add_argument("--sample_batch", type=int, default=256)
     p.add_argument("--torch_batch", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--extractor_steps", type=int, default=500)
     args = p.parse_args()
 
     import numpy as np
@@ -193,7 +194,7 @@ def main():
     real_fid = real[: args.num_samples]
     real_holdout = real[args.num_samples :]
     m, pa, _ = train_feature_extractor(
-        real_fid, labels[: args.num_samples], steps=500
+        real_fid, labels[: args.num_samples], steps=args.extractor_steps
     )
     extractor = (m, pa)
 
