@@ -447,3 +447,34 @@ def test_group_norm_coefficients_channel_shift():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
     )
+
+
+def test_fused_resblock_video_shared_stats_matches_unfused():
+    """Video blocks (frames folded into batch, shared GroupNorm stats via
+    stat_frames) take the fused interior too — scale-shift conditioning
+    fully fused; additive conditioning fuses conv1 only (conv2 falls back
+    to the unfused tail). Both must match the unfused block exactly."""
+    import xdiffusion_tpu.layers.resnet as resnet_mod
+
+    key = jax.random.PRNGKey(9)
+    frames = 4
+    x = jax.random.normal(key, (2 * frames, 8, 8, 64))  # (B*F, H, W, C)
+    ctx = {"timestep_embedding": jax.random.normal(
+        jax.random.fold_in(key, 1), (2 * frames, 32))}
+
+    for ss in (True, False):
+        blk = resnet_mod.ResnetBlockBigGAN(
+            dim_out=64, use_scale_shift_norm=ss, stat_frames=frames,
+            emb_mlp_layers=2,
+        )
+        p = blk.init(jax.random.PRNGKey(2), x, ctx)
+        want = blk.apply(p, x, ctx)
+        resnet_mod._FUSED_RESBLOCK = True
+        try:
+            got = blk.apply(p, x, ctx)
+        finally:
+            resnet_mod._FUSED_RESBLOCK = False
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5,
+            err_msg=f"video ss={ss}",
+        )

@@ -76,11 +76,26 @@ class FastGroupNorm(nn.Module):
             # ride the conv's input load instead of its own HBM pass.
             # channel_shift folds additive timestep conditioning
             # (norm(h + emb)) into the coefficients in closed form.
-            assert self.stat_frames == 1
-            a, off = group_norm_coefficients(
-                x, scale, bias, self.num_groups, self.epsilon,
-                channel_shift=channel_shift,
-            )
+            # stat_frames > 1 (video): statistics span the unfolded
+            # (B, F, ...) view, coefficients repeat to the folded (BF, C)
+            # batch; a spatially-constant-but-per-frame channel_shift
+            # would need per-frame stat bookkeeping, so that combination
+            # stays on the unfused path (callers gate on it).
+            if self.stat_frames > 1:
+                assert channel_shift is None
+                f = self.stat_frames
+                bf = x.shape[0]
+                xu = x.reshape(bf // f, f, *x.shape[1:])
+                a, off = group_norm_coefficients(
+                    xu, scale, bias, self.num_groups, self.epsilon
+                )
+                a = jnp.repeat(a, f, axis=0)    # (BF, C)
+                off = jnp.repeat(off, f, axis=0)
+            else:
+                a, off = group_norm_coefficients(
+                    x, scale, bias, self.num_groups, self.epsilon,
+                    channel_shift=channel_shift,
+                )
             if t_scale is not None:
                 ts = t_scale.reshape(x.shape[0], -1).astype(jnp.float32)
                 tsh = t_shift.reshape(x.shape[0], -1).astype(jnp.float32)
@@ -275,20 +290,22 @@ class ResnetBlockBigGAN(nn.Module):
         dim_in = x.shape[-1]
         # Fused interior: normalize+SiLU rides each conv's input load, and
         # the skip-add rides conv2's epilogue (ops/fused_resblock.py) —
-        # one fewer HBM round-trip per norm site. Ineligible: resampling
-        # blocks (the resample sits between norm1 and conv1), shared-stat
-        # video blocks, non-4D maps, and the training dropout path (the
-        # mask sits between norm2 and conv2).
+        # one fewer HBM round-trip per norm site. Works for the video
+        # blocks too (frames folded into batch, shared-stat GroupNorm
+        # coefficients repeat per frame). Ineligible: resampling blocks
+        # (the resample sits between norm1 and conv1), non-4D maps, the
+        # training dropout path (the mask sits between norm2 and conv2),
+        # and additive conditioning with shared-frame stats (see
+        # FastGroupNorm.return_coefficients).
         fused = (
             _FUSED_RESBLOCK
-            and self.stat_frames == 1
             and not (self.up or self.down)
             and x.ndim == 4
         )
         if fused:
-            a1, o1 = _group_norm(dim_in, "norm1", self.dtype)(
-                x, return_coefficients=True
-            )
+            a1, o1 = _group_norm(
+                dim_in, "norm1", self.dtype, stat_frames=self.stat_frames
+            )(x, return_coefficients=True)
             h = _FusedAffineConv(
                 self.dim_out, dtype=self.dtype, name="conv1"
             )(x, a1, o1)
@@ -323,7 +340,11 @@ class ResnetBlockBigGAN(nn.Module):
             stat_frames=self.stat_frames,
         )
         dropping = self.dropout > 0.0 and not deterministic
-        if fused and not dropping:
+        if (
+            fused
+            and not dropping
+            and (self.use_scale_shift_norm or self.stat_frames == 1)
+        ):
             if self.use_scale_shift_norm:
                 scale, shift = jnp.split(emb_out, 2, axis=-1)
                 a2, o2 = norm2(
@@ -385,13 +406,11 @@ class ResnetBlockDDPM(nn.Module):
         self, x: jax.Array, context: Dict, deterministic: bool = True
     ) -> jax.Array:
         dim_in = x.shape[-1]
-        fused = (
-            _FUSED_RESBLOCK and self.stat_frames == 1 and x.ndim == 4
-        )
+        fused = _FUSED_RESBLOCK and x.ndim == 4
         if fused:
-            a1, o1 = _group_norm(dim_in, "norm1", self.dtype)(
-                x, return_coefficients=True
-            )
+            a1, o1 = _group_norm(
+                dim_in, "norm1", self.dtype, stat_frames=self.stat_frames
+            )(x, return_coefficients=True)
             h = _FusedAffineConv(
                 self.dim_out, dtype=self.dtype, name="conv1"
             )(x, a1, o1)
@@ -421,7 +440,11 @@ class ResnetBlockDDPM(nn.Module):
             stat_frames=self.stat_frames,
         )
         dropping = self.dropout > 0.0 and not deterministic
-        if fused and not dropping:
+        if (
+            fused
+            and not dropping
+            and (self.use_scale_shift_norm or self.stat_frames == 1)
+        ):
             if self.use_scale_shift_norm:
                 scale, shift = jnp.split(emb_out, 2, axis=-1)
                 a2, o2 = norm2(
