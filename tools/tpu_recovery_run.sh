@@ -34,6 +34,8 @@ fi
 echo "$(date -u +%FT%TZ) TPU up — starting sequence" >&2
 
 {
+  echo "{\"stage\": \"validate_fused_resblock\", \"ts\": \"$(date -u +%FT%TZ)\"}"
+  timeout 1200 python tools/validate_fused_resblock_tpu.py
   echo "{\"stage\": \"bench\", \"ts\": \"$(date -u +%FT%TZ)\"}"
   timeout 1800 python bench.py
 } >> "$RESULTS"
