@@ -89,3 +89,90 @@ def test_import_cli_roundtrip(tmp_path, monkeypatch, capsys):
             np.asarray(leaf), np.asarray(want_map[path]),
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_import_cli_vae_roundtrip(tmp_path, monkeypatch, capsys):
+    """--component vae: reference AutoencoderKL state_dict -> VAETrainState
+    orbax checkpoint whose 'ae' subtree bit-matches a direct library
+    import."""
+    import torch
+
+    from tests.reference_helpers import import_reference, randomize_zero_init
+
+    try:
+        import_reference()
+    except ImportError as e:
+        pytest.skip(f"reference import failed: {e}")
+
+    from xdiffusion.autoencoders.kl import AutoencoderKL as RefVAE
+    from xdiffusion.utils import DotConfig as RefDotConfig
+
+    from xdiffusion_tpu.config import load_yaml
+
+    config_path = os.path.join(REPO, "tests", "fixtures", "vae_import_cli.yaml")
+    cfg = load_yaml(config_path)
+    torch.manual_seed(0)
+    ref = RefVAE(
+        RefDotConfig(
+            {
+                "embed_dim": 4,
+                "encoder_decoder_config":
+                    cfg.autoencoder.params.encoder_decoder_config.to_dict(),
+                "loss_config": {"target": "torch.nn.Identity", "params": {}},
+            }
+        )
+    )
+    sd = randomize_zero_init(ref.state_dict())
+    pt_path = str(tmp_path / "vae.pt")
+    torch.save({"model_state_dict": sd}, pt_path)
+
+    out_dir = str(tmp_path / "vae_orbax")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "import_torch_checkpoint.py",
+            "--config_path", config_path,
+            "--torch_checkpoint", pt_path,
+            "--output", out_dir,
+            "--component", "vae",
+        ],
+    )
+    runpy.run_path(
+        os.path.join(REPO, "tools", "import_torch_checkpoint.py"),
+        run_name="__main__",
+    )
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["component"] == "vae"
+    assert info["importer"] == "import_autoencoder_kl_params"
+
+    import jax.numpy as jnp
+    import optax
+
+    from xdiffusion_tpu import checkpoints
+    from xdiffusion_tpu.config import instantiate_from_config
+    from xdiffusion_tpu.importers.autoencoders import (
+        import_autoencoder_kl_params,
+    )
+    from xdiffusion_tpu.training.image.autoencoder import VAETrainState
+
+    vae = instantiate_from_config(
+        cfg.autoencoder.to_dict(), use_config_struct=True
+    )
+    params = vae.init_params(jax.random.PRNGKey(0))
+    state = VAETrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_ae=optax.adam(1e-4).init(params["ae"]),
+        opt_disc=optax.adam(1e-4).init(params.get("disc", {})),
+    )
+    restored, _ = checkpoints.restore_checkpoint(out_dir, state)
+    want = import_autoencoder_kl_params(
+        params["ae"], {k: v.detach().numpy() for k, v in sd.items()}
+    )
+    got = dict(jax.tree_util.tree_leaves_with_path(restored.params["ae"]))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(want):
+        np.testing.assert_array_equal(
+            np.asarray(got[path]), np.asarray(leaf),
+            err_msg=jax.tree_util.keystr(path),
+        )

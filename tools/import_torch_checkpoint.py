@@ -54,6 +54,62 @@ def load_torch_state_dict(path: str):
     return out
 
 
+def import_vae(args):
+    """torch VAE state_dict -> VAETrainState orbax checkpoint, matching
+    the structure the trainers restore (training/image/train.py:151-166,
+    training/image/autoencoder.py VAETrainState)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from xdiffusion_tpu import checkpoints
+    from xdiffusion_tpu.config import instantiate_from_config, load_yaml
+    from xdiffusion_tpu.importers.autoencoders import (
+        import_autoencoder_kl_params,
+        import_hunyuan_vae_params,
+        import_ltx_vae_params,
+    )
+    from xdiffusion_tpu.training.image.autoencoder import VAETrainState
+
+    config = load_yaml(args.config_path)
+    if "autoencoder" in config:
+        vae_cfg = config.autoencoder
+    else:
+        vae_cfg = config.diffusion.latent_encoder
+    vae = instantiate_from_config(vae_cfg.to_dict(), use_config_struct=True)
+    params = vae.init_params(jax.random.PRNGKey(0))
+
+    sd = load_torch_state_dict(args.torch_checkpoint)
+    target = vae_cfg.target.lower()
+    if "ltx" in target or "causalvideo" in target:
+        fn = import_ltx_vae_params
+    elif "hunyuan" in target:
+        fn = import_hunyuan_vae_params
+    else:
+        fn = import_autoencoder_kl_params
+    params = dict(params)
+    params["ae"] = fn(params["ae"], sd, strict=not args.non_strict)
+
+    state = VAETrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_ae=optax.adam(1e-4).init(params["ae"]),
+        opt_disc=optax.adam(1e-4).init(params.get("disc", {})),
+    )
+    checkpoints.save_checkpoint(args.output, state, step=args.step)
+    print(
+        json.dumps(
+            {
+                "component": "vae",
+                "importer": fn.__name__,
+                "imported_torch_tensors": len(sd),
+                "output": os.path.abspath(args.output),
+                "step": args.step,
+            }
+        )
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config_path", type=str, required=True)
@@ -63,7 +119,19 @@ def main():
                    help="step number to record in the orbax checkpoint")
     p.add_argument("--non_strict", action="store_true",
                    help="allow unmapped torch keys (e.g. partial/EMA dumps)")
+    p.add_argument(
+        "--component", choices=["score_network", "vae"],
+        default="score_network",
+        help="score_network: the config's diffusion.score_network; vae: "
+        "the config's autoencoder (VAE-trainer config) or "
+        "diffusion.latent_encoder (latent-diffusion config), written as a "
+        "VAETrainState consumable by --autoencoder_checkpoint/"
+        "vae_checkpoint",
+    )
     args = p.parse_args()
+
+    if args.component == "vae":
+        return import_vae(args)
 
     import jax
 

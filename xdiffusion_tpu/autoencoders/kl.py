@@ -80,9 +80,13 @@ class AutoencoderKL(VariationalAutoEncoder):
     def __init__(self, config: DotConfig, **kwargs):
         self._config = config
         self.module = _AutoencoderKLModule(config=config)
+        # torch.nn.Identity is the reference's "no loss" convention for
+        # frozen/inference VAEs (e.g. its parity/latent-encoder configs) —
+        # skip building a loss module entirely.
         self.loss_module = (
             instantiate_from_config(config.loss_config.to_dict())
             if "loss_config" in config
+            and not config.loss_config.target.endswith("Identity")
             else None
         )
 
