@@ -59,12 +59,14 @@ def _kernel(x_ref, a_ref, off_ref, w_ref, b_ref, *rest, h: int, w: int,
         (o_ref,) = rest
     hw = h * w
     x = x_ref[0]  # (HW, C)
-    a = a_ref[...].astype(jnp.float32)      # (1, C)
-    off = off_ref[...].astype(jnp.float32)  # (1, C)
+    a = a_ref[0].astype(jnp.float32)      # (1, C)
+    off = off_ref[0].astype(jnp.float32)  # (1, C)
     y = x.astype(jnp.float32) * a + off
     if apply_silu:
         y = y * jax.nn.sigmoid(y)
-    y = y.astype(x.dtype)
+    # Mosaic's sublane rotate only supports 32-bit data ("Rotate with
+    # non-32-bit data"), so the taps are rolled in fp32 and cast to the
+    # compute dtype after masking — the converts stay in VMEM/registers.
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
     row = idx // w
@@ -87,6 +89,7 @@ def _kernel(x_ref, a_ref, off_ref, w_ref, b_ref, *rest, h: int, w: int,
                 & (col + dx >= 0) & (col + dx < w)
             )
             tap = jnp.where(valid, shifted, jnp.zeros_like(shifted))
+            tap = tap.astype(x.dtype)
             k = (dy + 1) * 3 + (dx + 1)
             acc += jax.lax.dot(
                 tap, w_ref[k], preferred_element_type=jnp.float32
@@ -110,13 +113,20 @@ def _pallas_call(x, a, off, kernel_w, bias, residual, apply_silu):
     in_specs = [
         pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        # a/off are (B, 1, C) so the per-step block's trailing dims equal
+        # the array's — TPU requires trailing block dims divisible by
+        # (8, 128) OR equal to the array dims, and (1, C) blocks of a
+        # (B, C) array violate the sublane rule.
+        pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((9, c, c_out), lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    operands = [x2, a.astype(jnp.float32), off.astype(jnp.float32), w9,
+    operands = [x2, a.astype(jnp.float32).reshape(b, 1, c),
+                off.astype(jnp.float32).reshape(b, 1, c), w9,
                 bias.astype(jnp.float32).reshape(1, c_out)]
     if has_res:
         in_specs.append(
@@ -170,7 +180,7 @@ def _eligible(x, c_out: int, residual) -> bool:
     item = x.dtype.itemsize
     vmem = (
         hw * c * item          # x block
-        + hw * c * item        # y
+        + hw * c * 4           # y (kept fp32 for Mosaic's 32-bit rotate)
         + hw * c_out * 4       # fp32 accumulator
         + 9 * c * c_out * item  # weights
         + hw * c_out * item    # out block
