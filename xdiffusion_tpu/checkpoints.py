@@ -35,7 +35,23 @@ def save_checkpoint(
     mgr.close()
 
 
+def _resolve_dir(directory: str) -> str:
+    """Accept either the orbax step directory itself or a training run
+    directory that contains a `checkpoints/` subdir (the layout the train
+    CLIs write: output/<dataset>/<config>/checkpoints/<step>)."""
+    sub = os.path.join(directory, "checkpoints")
+    if os.path.isdir(directory):
+        has_steps = any(
+            name.isdigit() and os.path.isdir(os.path.join(directory, name))
+            for name in os.listdir(directory)
+        )
+        if not has_steps and os.path.isdir(sub):
+            return sub
+    return directory
+
+
 def latest_step(directory: str) -> Optional[int]:
+    directory = _resolve_dir(directory)
     if not os.path.isdir(directory):
         return None
     mgr = _manager(directory)
@@ -49,6 +65,7 @@ def restore_checkpoint(
 ) -> Tuple[Any, int]:
     """Restore into the structure of `abstract_state` (a matching pytree,
     e.g. a freshly-initialized TrainState). Returns (state, step)."""
+    directory = _resolve_dir(directory)
     mgr = _manager(directory)
     step = step if step is not None else mgr.latest_step()
     assert step is not None, f"no checkpoint found in {directory}"

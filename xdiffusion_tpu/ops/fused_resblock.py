@@ -34,6 +34,14 @@ reference implementation under `jax.vjp` (recompute-style, like
 Dispatch: TPU backend, 128-aligned channels, slab fits the VMEM budget;
 everything else (CPU tests, thin channels, huge maps) takes the XLA path,
 which is bit-identical to the unfused module math.
+
+MEASURED RESULT (v5e, round 3, tools/tpu_recovery_results.jsonl): despite
+the bytes win on paper, the kernel is ~27% SLOWER than the unfused XLA
+path at the headline config (204.98 vs 281.29 samples/s/chip, 50-step
+DDIM batch 64) — the fp32 roll workaround and per-tap cast copies eat
+the saved HBM traffic in VMEM bandwidth/issue slots. It stays gated OFF
+by default (`XDIFFUSION_FUSED_RESBLOCK=1` to enable); do not enable it
+expecting a speedup at these shapes — bench.py A/Bs it every run.
 """
 
 from __future__ import annotations
@@ -181,6 +189,8 @@ def _eligible(x, c_out: int, residual) -> bool:
     vmem = (
         hw * c * item          # x block
         + hw * c * 4           # y (kept fp32 for Mosaic's 32-bit rotate)
+        + hw * c * 4           # per-tap rolled/masked fp32 slab (live temp)
+        + hw * c * item        # per-tap compute-dtype cast copy (live temp)
         + hw * c_out * 4       # fp32 accumulator
         + 9 * c * c_out * item  # weights
         + hw * c_out * item    # out block
