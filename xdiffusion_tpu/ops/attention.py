@@ -111,6 +111,16 @@ def _flash_eligible(q: jax.Array, k: jax.Array) -> bool:
     return 4 * max(sq, sk) * d * q.dtype.itemsize <= 8 * 1024 * 1024
 
 
+@functools.lru_cache(maxsize=1)
+def _short_attn_min_rows() -> int:
+    """Dispatch threshold (total q-rows = B*H*Sq) above which the fused
+    BSC Pallas kernel takes over from the XLA einsum path. Env-tunable
+    for A/B sweeps (XDIFFUSION_SHORT_ATTN_MIN_ROWS)."""
+    import os
+
+    return int(os.environ.get("XDIFFUSION_SHORT_ATTN_MIN_ROWS", "100000"))
+
+
 def attention_bshd(
     q: jax.Array,
     k: jax.Array,
@@ -183,7 +193,12 @@ def attention_qkv(
         # Below this the XLA path's logits traffic fits cache-side and the
         # kernel's per-call overhead loses (A/B on the DDIM bench: kernel
         # wins 7-10% at batch>=128 with 4 heads x seq 256, ties/loses at 64).
-        and b * heads * sq >= 100_000
+        # Re-verified round 4 on chip after the FastGroupNorm layout changes:
+        # forcing the kernel at batch 64 (32,768 q-rows) measures 255.4 vs
+        # 282.9 samples/s on the headline DDIM bench — the ~8 ms/run of
+        # relayout copies the XLA path pays there is still cheaper than the
+        # kernel's launch+slab overhead, so the 100k default stands.
+        and b * heads * sq >= _short_attn_min_rows()
         # Per-grid-step VMEM block is (2*sq + 2*sk) * c * itemsize (q, out,
         # k, v slabs); wide-channel sites must not exceed the ~16 MB VMEM
         # budget or pallas compilation fails at runtime instead of falling
