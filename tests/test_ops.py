@@ -50,7 +50,7 @@ def test_flash_kernel_interpret_matches_xla():
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
-    want_lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    want_lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
     np.testing.assert_allclose(
         np.asarray(lse), np.asarray(want_lse), atol=1e-2, rtol=1e-3
     )

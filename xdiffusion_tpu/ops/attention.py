@@ -97,7 +97,18 @@ def _flash_eligible(q: jax.Array, k: jax.Array) -> bool:
     — so the head-dim requirement is a 64-multiple (a half-width MXU
     tile; 128 stays the fast path), not the 128-multiple that excluded
     every shipped config. k/v (and q/g in the backward) are held
-    VMEM-resident per (batch, head), which bounds the sequence."""
+    VMEM-resident per (batch, head), which bounds the sequence.
+
+    On-chip A/B at the calibration shapes (tools/flash_ab.py, v5e,
+    bf16, min-of-10): 4096 tokens d=64 (LTX patchified grid) flash wins
+    1.25x fwd / 1.38x fwd+bwd; 4096 tokens d=128 (Hunyuan) 1.60x /
+    1.56x; max |diff| vs the XLA path 9.8e-4. Beyond 4096 tokens the
+    Mosaic compile helper CRASHES (subprocess exit 1, no diagnostic)
+    for parts of the program: at 8192 tokens the d=128 forward still
+    compiles and wins 39x (XLA materializes the fp32 logits) but its
+    backward crashes, and the d=64 forward crashes outright — so the
+    gate below is the verified-to-compile-and-win envelope
+    (max seq 4096), not the theoretical VMEM budget."""
     if jax.default_backend() != "tpu":
         return False
     *_, sq, d = q.shape
@@ -106,9 +117,14 @@ def _flash_eligible(q: jax.Array, k: jax.Array) -> bool:
         # Below these sizes the XLA path is already speed-of-light; the
         # kernel's block bookkeeping would only add overhead.
         return False
+    if max(sq, sk) > 4096:
+        # Measured Mosaic compile-helper crash boundary (see docstring);
+        # longer sequences stay on XLA until it is understood.
+        return False
     # Residency bound: q/k/v/g full-sequence slabs per grid step in the
-    # backward -> 4 * S * d bytes must leave VMEM headroom.
-    return 4 * max(sq, sk) * d * q.dtype.itemsize <= 8 * 1024 * 1024
+    # backward -> 4 * S * d bytes must leave VMEM headroom (this is what
+    # still excludes fp32 at d=128).
+    return 4 * max(sq, sk) * d * q.dtype.itemsize <= 4 * 1024 * 1024
 
 
 @functools.lru_cache(maxsize=1)

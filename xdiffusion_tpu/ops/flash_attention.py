@@ -70,7 +70,10 @@ def _flash_kernel(
     m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
     # Per-row logsumexp: the backward's softmax residual (tiny vs O).
-    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
+    # Kept as a (Sq, 1) trailing-unit column: Mosaic requires the last
+    # two block dims be (8, 128)-divisible OR equal the array dims, so a
+    # rank-3 (1, 1, block_q) row block fails to lower on real TPU.
+    lse_ref[0, 0] = m + jnp.log(l)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -94,7 +97,7 @@ def _flash_forward(q, k, v, scale: float):
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((b, h, sq), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, sq, 1), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -121,8 +124,8 @@ def _flash_forward(q, k, v, scale: float):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, block_q),
-                lambda bi, hi, qi: (bi, hi, qi),
+                (1, 1, block_q, 1),
+                lambda bi, hi, qi: (bi, hi, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
@@ -403,8 +406,8 @@ def _flash_dq_kernel(
     ds = p * (g v^T - delta) * scale, dq += ds @ k."""
     q = q_ref[0, 0]
     g = g_ref[0, 0]
-    lse = lse_ref[0, 0][:, None]  # (block_q, 1) fp32
-    delta = delta_ref[0, 0][:, None]
+    lse = lse_ref[0, 0]  # (block_q, 1) fp32
+    delta = delta_ref[0, 0]
     sk = k_ref.shape[2]
     block_q, d = q.shape
 
@@ -450,8 +453,8 @@ def _flash_dkv_kernel(
         dk, dv = carry
         q = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
         g = g_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
-        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
         logits = jax.lax.dot_general(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -503,8 +506,10 @@ def _flash_bwd(scale, residuals, g):
     # Softmax-backward rowsum folded through the output:
     # sum_k dp*p == rowsum(g * o).
     delta = jnp.sum(
-        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
-    )  # (B, H, Sq)
+        g.astype(jnp.float32) * o.astype(jnp.float32),
+        axis=-1,
+        keepdims=True,
+    )  # (B, H, Sq, 1) — trailing-unit column like lse (Mosaic tiling)
 
     q_block = pl.BlockSpec(
         (1, 1, block_q, d), lambda bi, hi, i: (bi, hi, i, 0),
@@ -523,11 +528,11 @@ def _flash_bwd(scale, residuals, g):
         memory_space=pltpu.VMEM,
     )
     row_block = pl.BlockSpec(
-        (1, 1, block_q), lambda bi, hi, i: (bi, hi, i),
+        (1, 1, block_q, 1), lambda bi, hi, i: (bi, hi, i, 0),
         memory_space=pltpu.VMEM,
     )
     row_full = pl.BlockSpec(
-        (1, 1, sq), lambda bi, hi, i: (bi, hi, 0),
+        (1, 1, sq, 1), lambda bi, hi, i: (bi, hi, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
