@@ -26,6 +26,10 @@ os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.join(_repo, ".cache", "jax")
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.3")
+# Skip the startup model-summary table in e2e trainer tests (it re-traces
+# the score network just to render a table; tests cover it directly in
+# tests/test_summary.py).
+os.environ.setdefault("XDIFFUSION_MODEL_SUMMARY", "0")
 
 import jax  # noqa: E402
 

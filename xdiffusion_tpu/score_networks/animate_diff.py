@@ -171,6 +171,7 @@ class Unet(_ImageUnet):
     """Image UNet + interleaved motion modules (reference
     AnimateDiffUnet, animate_diff.py:201-431)."""
 
+    @nn.nowrap
     def _net_config(self):
         return self.config.spatial_score_network
 

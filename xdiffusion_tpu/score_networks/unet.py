@@ -43,11 +43,14 @@ class Unet(nn.Module):
 
     config: Any  # DotConfig of score_network.params (static)
 
+    @nn.nowrap
     def _net_config(self):
         """The config subtree describing the 2D backbone. Video wrappers
         (Video-LDM, AnimateDiff) override this to point at their nested
         `spatial_score_network` block (reference video_ldm.py:150,
-        animate_diff.py:213)."""
+        animate_diff.py:213). `nowrap` keeps this helper out of flax's
+        method interception (so e.g. nn.tabulate doesn't render it as a
+        layer row)."""
         return self.config
 
     def setup(self):

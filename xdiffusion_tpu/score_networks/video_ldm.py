@@ -131,6 +131,7 @@ class Unet(_ImageUnet):
     """Image UNet + interleaved temporal adapters (reference
     VideoLDMUnet, video_ldm.py:138-342)."""
 
+    @nn.nowrap
     def _net_config(self):
         return self.config.spatial_score_network
 

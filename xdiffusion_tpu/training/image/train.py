@@ -100,6 +100,12 @@ def train(
 
     model = build_model(config)
 
+    # Startup model summary with a fully-populated fake context
+    # (reference training/image/train.py:157 → ddpm.py:694-793).
+    from xdiffusion_tpu.summary import print_model_summary
+
+    print_model_summary(model)
+
     # Optional sampling-time prompt encoder (reference training/image/
     # train.py:237-248): a host-side context preprocessor applied to the
     # eval-sampling context (e.g. a frozen T5/CLIP embedder).

@@ -84,6 +84,11 @@ def train(
     ckpt_dir = os.path.join(out_dir, "checkpoints")
 
     model = build_model(config)
+    # Startup model summary with a fully-populated fake context
+    # (reference training/video/train.py:182 → ddpm.py:694-793).
+    from xdiffusion_tpu.summary import print_model_summary
+
+    print_model_summary(model)
     # Multi-host: initialize jax.distributed when launched as a pod
     # (no-op single-process); each host then loads only its batch shard
     # and shard_batch assembles the global array (SURVEY §2.14).
