@@ -125,6 +125,30 @@ def main():
     samples_per_sec = max(sps_unfused, sps_fused)
     per_chip = samples_per_sec / n_chips
 
+    # Best-throughput operating point: batch 256 with the 64-sample
+    # chunked forward (ops/batch_chunk.py) measures ~289-292 sps/chip,
+    # above the batch-64 headline (BASELINE.md round-4 batch-scaling
+    # section). Reported alongside; the headline metric stays batch 64
+    # for round-over-round comparability.
+    def measure_at(batch):
+        def run(seed):
+            return model.sample(
+                params, jax.random.PRNGKey(seed), num_samples=batch,
+                num_sampling_steps=STEPS, sampler=sampler,
+            )
+        np.asarray(run(0))
+        t0 = time.perf_counter()
+        for i in range(1, REPEATS + 1):
+            out = run(i)
+        np.asarray(out)
+        return batch * REPEATS / (time.perf_counter() - t0)
+
+    try:
+        sps_b256 = measure_at(256) / n_chips
+    except Exception:
+        sps_b256 = 0.0
+    model._sample_fn_cache.clear()
+
     # MFU. The HEADLINE definition is ANALYTIC: matmul/conv FLOPs counted
     # from the score-network forward's jaxpr (2*M*N*K per contraction —
     # the textbook model-flops convention), NOT XLA's cost analysis,
@@ -166,6 +190,7 @@ def main():
                     sps_fused / n_chips, 2
                 ),
                 "fused_resblock_used": bool(sps_fused > sps_unfused),
+                "samples_per_sec_batch256_chunked": round(sps_b256, 2),
             }
         )
     )

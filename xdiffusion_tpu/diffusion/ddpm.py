@@ -308,9 +308,22 @@ class GaussianDiffusion_DDPM:
         rng: Optional[jax.Array] = None,
     ):
         rngs = {"dropout": rng} if rng is not None else None
-        return self._score_network.apply(
-            params, x, context, deterministic=deterministic, rngs=rngs
-        )
+
+        def apply(xx, cc):
+            return self._score_network.apply(
+                params, xx, cc, deterministic=deterministic, rngs=rngs
+            )
+
+        if deterministic:
+            # Large batches are evaluated in <=64-sample chunks inside
+            # the jitted program so XLA keeps the channels-minor
+            # activation layout (see ops/batch_chunk.py for the measured
+            # root cause). Deterministic-only: chunking would reuse the
+            # dropout rng across chunks.
+            from xdiffusion_tpu.ops.batch_chunk import chunk_batched_apply
+
+            return chunk_batched_apply(apply, x, context)
+        return apply(x, context)
 
     def preprocess_context(self, context: Dict) -> Dict:
         """Host-side context preprocessing (tokenization etc.). Run BEFORE
