@@ -92,10 +92,20 @@ class GaussianDiffusion_SDE:
                 self._sde.sqrt_1m_alphas_cumprod, labels.astype(jnp.int32)
             )
         rngs = {"dropout": rng} if rng is not None else None
-        eps = self._score_network.apply(
-            params, x, {"timestep": labels},
-            deterministic=deterministic, rngs=rngs,
-        )
+
+        def apply(xx, cc):
+            return self._score_network.apply(
+                params, xx, cc, deterministic=deterministic, rngs=rngs
+            )
+
+        if deterministic:
+            # Chunked large-batch forward (see ops/batch_chunk.py and the
+            # same dispatch in diffusion/ddpm.py predict_score).
+            from xdiffusion_tpu.ops.batch_chunk import chunk_batched_apply
+
+            eps = chunk_batched_apply(apply, x, {"timestep": labels})
+        else:
+            eps = apply(x, {"timestep": labels})
         return -eps / broadcast_from_left(std, x.shape)
 
     # -- training ---------------------------------------------------------------

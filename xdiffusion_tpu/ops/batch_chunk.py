@@ -21,6 +21,13 @@ dynamic-update per chunk — negligible against the relayout win.
 whose leading axis equals the batch size are split; everything else
 (scalar knobs, shared tables like per-frame timestep-embedding grids)
 is closed over unchanged.
+
+Multi-chip note: the chunk size is in GLOBAL batch elements. When the
+batch axis is sharded over a 'data' mesh axis, set
+XDIFFUSION_FORWARD_CHUNK to the PER-CHIP batch (or a multiple of the
+data-axis size) so each lax.map iteration keeps whole shards — or 0 to
+disable. The single-chip default (64) is tuned for the v5e layout
+behavior documented above.
 """
 
 from __future__ import annotations

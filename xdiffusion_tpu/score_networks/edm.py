@@ -642,14 +642,31 @@ class _Precond:
         c_skip, c_out, c_in, c_noise = self.coefficients(sigma)
         expand = lambda c: c.reshape((-1,) + (1,) * (x.ndim - 1))
         rngs = {"dropout": rng} if rng is not None else None
-        fx = self.module.apply(
-            params,
-            (expand(c_in) * x),
-            c_noise,
-            class_labels=class_labels if self.label_dim else None,
-            deterministic=deterministic,
-            rngs=rngs,
-        )
+
+        def inner(xx, cc):
+            return self.module.apply(
+                params,
+                xx,
+                cc["c_noise"],
+                class_labels=cc.get("class_labels"),
+                deterministic=deterministic,
+                rngs=rngs,
+            )
+
+        ctx = {"c_noise": c_noise}
+        if self.label_dim and class_labels is not None:
+            ctx["class_labels"] = class_labels
+        x_in = expand(c_in) * x
+        if deterministic:
+            # Large sampling batches run in <=64-sample lax.map chunks so
+            # XLA keeps the channels-minor conv layout (ops/batch_chunk.py
+            # has the measured root cause). Deterministic-only: chunking
+            # would reuse the dropout rng across chunks.
+            from xdiffusion_tpu.ops.batch_chunk import chunk_batched_apply
+
+            fx = chunk_batched_apply(inner, x_in, ctx)
+        else:
+            fx = inner(x_in, ctx)
         return expand(c_skip) * x + expand(c_out) * fx
 
 
