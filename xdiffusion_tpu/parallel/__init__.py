@@ -26,6 +26,12 @@ from xdiffusion_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     tensor_param_shardings,
 )
+from xdiffusion_tpu.parallel.pipeline import (  # noqa: F401
+    gpipe_blocks,
+    pipeline_parallel,
+    set_pipeline_parallel_mesh,
+    stack_block_params,
+)
 from xdiffusion_tpu.parallel.train_step import (  # noqa: F401
     TrainState,
     create_train_state,

@@ -164,6 +164,45 @@ class DiT(nn.Module):
             out_channels=self._out_channels,
         )
 
+    @nn.nowrap
+    def _pipelined_blocks(self, tokens, c, pipe):
+        """Run the homogeneous block stack through the GPipe engine
+        (parallel/pipeline.py): per-block params stacked along a leading
+        axis sharded over the 'pipeline' mesh axis, microbatches
+        circulated stage-to-stage with ppermute. Block-internal dropout
+        is forced off on this path (rngs can't thread through the
+        pipelined scan); CFG/conditioning dropout upstream is unaffected.
+        """
+        from xdiffusion_tpu.parallel.pipeline import (
+            gpipe_blocks,
+            stack_block_params,
+        )
+
+        mesh, axis, n_mb = pipe
+        cfg = self.config
+        tmpl = DiTBlock(
+            hidden_size=self._hidden_size,
+            num_heads=int(cfg.num_heads),
+            mlp_ratio=float(cfg.mlp_ratio),
+            dropout=0.0,
+            dtype=self._dtype,
+            parent=None,  # detached template — applied with explicit params
+        )
+        stacked = stack_block_params(
+            [
+                self.variables["params"][f"_blocks_{i}"]
+                for i in range(len(self._blocks))
+            ]
+        )
+
+        def block_fn(p, a, cc):
+            return tmpl.apply({"params": p}, a, cc, deterministic=True)
+
+        return gpipe_blocks(
+            block_fn, stacked, tokens, c, mesh,
+            axis=axis, num_microbatches=n_mb,
+        )
+
     def _unpatchify(self, x: jax.Array) -> jax.Array:
         """(B, N, p*p*C) -> (B, H, W, C)."""
         b, n, _ = x.shape
@@ -188,8 +227,16 @@ class DiT(nn.Module):
         c = context["timestep_embedding"]
 
         tokens = self._patch_embed(x) + self._pos_embed[None, :, :]
-        for block in self._blocks:
-            tokens = block(tokens, c, deterministic=deterministic)
+        pipe = None
+        if not self.is_initializing():
+            from xdiffusion_tpu.parallel.pipeline import get_pipeline_context
+
+            pipe = get_pipeline_context()
+        if pipe is not None:
+            tokens = self._pipelined_blocks(tokens, c, pipe)
+        else:
+            for block in self._blocks:
+                tokens = block(tokens, c, deterministic=deterministic)
         tokens = self._final(tokens, c)
         out = self._unpatchify(tokens).astype(jnp.float32)
         if self._is_learned_sigma:
