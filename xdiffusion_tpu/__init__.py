@@ -27,3 +27,34 @@ Package map:
 """
 
 __version__ = "0.1.0"
+
+
+def _default_compilation_cache() -> None:
+    """Persistent XLA compilation cache, on by default.
+
+    Chunked/scanned sampler programs can take minutes to compile the
+    first time (docs/performance.md "Batch scaling"); the cache makes
+    that a once-per-shape cost across processes. Explicit user settings
+    (JAX_COMPILATION_CACHE_DIR env, or jax.config set before import)
+    always win; XDIFFUSION_NO_COMPILE_CACHE=1 opts out entirely.
+    """
+    import os
+
+    if os.environ.get("XDIFFUSION_NO_COMPILE_CACHE") == "1":
+        return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.expanduser("~/.cache/xdiffusion"), "jax"),
+        )
+    except Exception:  # pragma: no cover - never fatal for import
+        pass
+
+
+_default_compilation_cache()
