@@ -57,6 +57,15 @@ class GaussianDiffusion_DDPM:
         sn_cls = type_from_config(sn_cfg.to_dict())
         self._score_network = sn_cls(config=DotConfig(sn_cfg.params.to_dict()))
         self._is_learned_sigma = bool(sn_cfg.params.is_learned_sigma)
+        # MoE score networks (layers/moe.py) sow a load-balance auxiliary
+        # loss; fold it into the training objective with this weight
+        # (Switch Transformer default 1e-2).
+        _n_exp = int(sn_cfg.params.get("num_experts", 0) or 0)
+        self._moe_aux_weight = (
+            float(sn_cfg.params.get("moe_aux_loss_weight", 0.01))
+            if _n_exp > 1
+            else 0.0
+        )
 
         # Scheduler + importance sampler.
         self._noise_scheduler = instantiate_from_config(
@@ -306,8 +315,30 @@ class GaussianDiffusion_DDPM:
         context: Dict,
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
+        with_intermediates: bool = False,
     ):
         rngs = {"dropout": rng} if rng is not None else None
+
+        if with_intermediates:
+            # Training path for MoE networks: collect the sown
+            # 'intermediates' (load-balance aux losses) alongside the
+            # prediction. Bypasses batch chunking (loss batches are
+            # per-chip sized; chunking is a large-batch sampling fix).
+            out, mods = self._score_network.apply(
+                params, x, context, deterministic=deterministic,
+                rngs=rngs, mutable=["intermediates"],
+            )
+            aux = jnp.zeros((), dtype=jnp.float32)
+            n_aux = 0
+            for path, leaf in jax.tree_util.tree_flatten_with_path(
+                mods.get("intermediates", {})
+            )[0]:
+                if any("moe_aux_loss" in str(k) for k in path):
+                    aux = aux + jnp.asarray(leaf, jnp.float32)
+                    n_aux += 1
+            if n_aux > 1:  # mean over MoE blocks: depth-independent scale
+                aux = aux / n_aux
+            return out, aux
 
         def apply(xx, cc):
             return self._score_network.apply(
@@ -469,9 +500,17 @@ class GaussianDiffusion_DDPM:
 
         context["preprocessor_rng"] = jax.random.fold_in(rng_drop, 7)
         x_in = self.process_input(x_t, context)
-        model_output = self.predict_score(
-            params, x_in, context, deterministic=deterministic, rng=rng_drop
-        )
+        moe_aux = None
+        if self._moe_aux_weight > 0.0:
+            model_output, moe_aux = self.predict_score(
+                params, x_in, context, deterministic=deterministic,
+                rng=rng_drop, with_intermediates=True,
+            )
+        else:
+            model_output = self.predict_score(
+                params, x_in, context, deterministic=deterministic,
+                rng=rng_drop,
+            )
 
         if self._is_learned_sigma:
             model_prediction, learned_variance = model_output
@@ -512,14 +551,19 @@ class GaussianDiffusion_DDPM:
             vb_loss = vb_loss * 1e-3
 
         total = (mse_loss + vb_loss) * weights
+        objective = total.mean()
         metrics = {
-            "loss": total.mean(),
+            "loss": objective,
             "mse_loss": mse_loss.mean(),
             "vb_loss": vb_loss.mean(),
             "timesteps": t,
             "loss_per_example": jax.lax.stop_gradient(mse_loss + vb_loss),
         }
-        return total.mean(), metrics
+        if moe_aux is not None:
+            objective = objective + self._moe_aux_weight * moe_aux
+            metrics["moe_aux_loss"] = moe_aux
+            metrics["loss"] = objective
+        return objective, metrics
 
     def distillation_loss_on_batch(
         self,

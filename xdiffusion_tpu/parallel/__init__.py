@@ -20,6 +20,7 @@ from xdiffusion_tpu.parallel.distributed import (  # noqa: F401
 )
 from xdiffusion_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
+    expert_param_shardings,
     fsdp_param_shardings,
     make_mesh,
     replicated,

@@ -146,3 +146,38 @@ def tensor_param_shardings(params, mesh: Mesh, fsdp_fallback: bool = True):
                 rule = NamedSharding(mesh, P(*spec))
         out[path] = rule
     return unflatten_dict(out, sep="/")
+
+
+def expert_param_shardings(params, mesh: Mesh, fsdp_fallback: bool = True):
+    """Expert-parallel sharding rules over the 'expert' mesh axis.
+
+    Stacked expert kernels (layers/moe.py: ``experts_fc1``/``experts_fc2``
+    and their biases, leading axis = expert index) shard dim 0 over
+    'expert'; the router and every non-MoE parameter fall through to the
+    ZeRO-3 fsdp rule (or replication). GSPMD then derives the
+    all-to-all that moves dispatched capacity slots onto their expert's
+    device from the dispatch einsum's operand shardings — the EP analogue
+    of how the fsdp rules imply all-gather/reduce-scatter.
+    """
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    ep = mesh.shape.get("expert", 1)
+    fsdp_rules = (
+        fsdp_param_shardings(params, mesh)
+        if fsdp_fallback and "fsdp" in mesh.shape
+        else jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), params)
+    )
+    flat = flatten_dict(params, sep="/") if isinstance(params, dict) else None
+    if flat is None or ep == 1:
+        return fsdp_rules
+    flat_rules = flatten_dict(fsdp_rules, sep="/")
+    out = {}
+    for path, leaf in flat.items():
+        rule = flat_rules[path]
+        if "/experts_" in "/" + path.rsplit("/", 1)[-1] or path.split("/")[-1].startswith("experts_"):
+            if leaf.ndim >= 1 and leaf.shape[0] % ep == 0:
+                spec = [None] * leaf.ndim
+                spec[0] = "expert"
+                rule = NamedSharding(mesh, P(*spec))
+        out[path] = rule
+    return unflatten_dict(out, sep="/")

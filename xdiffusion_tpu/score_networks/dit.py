@@ -41,6 +41,12 @@ class DiTBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # Mixture-of-Experts MLP branch (beyond-reference; layers/moe.py).
+    # num_experts > 1 replaces the dense MLP with a Switch/GShard-routed
+    # expert bank whose stacked kernels shard over an 'expert' mesh axis.
+    num_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(
@@ -70,11 +76,24 @@ class DiTBlock(nn.Module):
         norm2 = nn.LayerNorm(use_bias=False, use_scale=False, name="norm2")(x)
         h = modulate(norm2, shift_mlp, scale_mlp)
         mlp_dim = int(self.hidden_size * self.mlp_ratio)
-        h = nn.Dense(mlp_dim, dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h, approximate=True)
-        if self.dropout > 0.0:
-            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.hidden_size, dtype=self.dtype, name="mlp_fc2")(h)
+        if self.num_experts > 1:
+            from xdiffusion_tpu.layers.moe import MoEMlp
+
+            h = MoEMlp(
+                hidden_size=self.hidden_size,
+                mlp_dim=mlp_dim,
+                num_experts=self.num_experts,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                dtype=self.dtype,
+                name="moe_mlp",
+            )(h, deterministic=deterministic)
+        else:
+            h = nn.Dense(mlp_dim, dtype=self.dtype, name="mlp_fc1")(h)
+            h = nn.gelu(h, approximate=True)
+            if self.dropout > 0.0:
+                h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            h = nn.Dense(self.hidden_size, dtype=self.dtype, name="mlp_fc2")(h)
         return x + gate_mlp[:, None, :] * h
 
 
@@ -148,6 +167,11 @@ class DiT(nn.Module):
             self._hidden_size, grid[0], grid[1], base_size=16
         )
         dropout = float(cfg.dropout) if "dropout" in cfg else 0.0
+        self._moe_kwargs = dict(
+            num_experts=int(cfg.get("num_experts", 0) or 0),
+            moe_top_k=int(cfg.get("moe_top_k", 1) or 1),
+            moe_capacity_factor=float(cfg.get("moe_capacity_factor", 1.25)),
+        )
         self._blocks = [
             DiTBlock(
                 hidden_size=self._hidden_size,
@@ -155,6 +179,7 @@ class DiT(nn.Module):
                 mlp_ratio=float(cfg.mlp_ratio),
                 dropout=dropout,
                 dtype=dt,
+                **self._moe_kwargs,
             )
             for _ in range(int(cfg.depth))
         ]
@@ -187,6 +212,7 @@ class DiT(nn.Module):
             dropout=0.0,
             dtype=self._dtype,
             parent=None,  # detached template — applied with explicit params
+            **self._moe_kwargs,
         )
         stacked = stack_block_params(
             [
