@@ -25,6 +25,13 @@ def main():
     p.add_argument("--sample_batch", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument(
+        "--allow-synthetic",
+        action="store_true",
+        help="permit FID against the synthetic stand-in dataset (the "
+        "number is then NOT comparable to real-data FID; it is tagged "
+        "synthetic_data=true in the output)",
+    )
     args = p.parse_args()
 
     import jax
@@ -77,6 +84,19 @@ def main():
     generated = np.concatenate(samples, axis=0)
 
     dataset, _ = load_dataset(args.dataset_name, config=config, split="train")
+    synthetic = bool(getattr(dataset, "synthetic", False))
+    if synthetic and not args.allow_synthetic:
+        print(
+            json.dumps(
+                {
+                    "error": "refusing to report FID against the SYNTHETIC "
+                    "stand-in dataset. Fetch real archives (python "
+                    "tools/fetch_datasets.py) or pass --allow-synthetic "
+                    "to get a clearly-tagged synthetic-data number.",
+                }
+            )
+        )
+        sys.exit(2)
     rng = np.random.default_rng(args.seed)
     idx = rng.permutation(len(dataset))[: 2 * args.num_samples]
     real = np.stack([np.asarray(dataset[int(j)][0]) for j in idx])
@@ -102,6 +122,7 @@ def main():
                 "num_samples": args.num_samples,
                 "sampling_steps": args.sampling_steps,
                 "checkpoint_step": int(step),
+                "synthetic_data": synthetic,
             }
         )
     )
