@@ -99,11 +99,20 @@ def test_capacity_formula():
 
 
 def test_aux_loss_prefers_balance():
-    # Uniform router probabilities + uniform dispatch -> aux == 1.0;
-    # fully collapsed routing -> aux == E.
+    # Genuinely balanced dispatch (argmax cycles over all experts, mean
+    # router probability uniform) -> aux == 1.0; fully collapsed routing
+    # -> aux == E. Note exactly-uniform gate rows would pass trivially
+    # (argmax ties always pick expert 0 but f·p still sums to 1/E), so
+    # use a permuted near-one-hot pattern that exercises a real uniform
+    # first-choice fraction f.
     t, e = 16, 4
-    uniform = jnp.full((t, e), 1.0 / e)
-    _, _, aux_u = top_k_routing(uniform, capacity=t, top_k=1)
+    eps = 0.01
+    balanced = jnp.full((t, e), eps / (e - 1))
+    rows = jnp.arange(t) % e
+    balanced = balanced.at[jnp.arange(t), rows].set(1.0 - eps)
+    _, _, aux_u = top_k_routing(balanced, capacity=t, top_k=1)
+    # f is exactly uniform (each expert argmax-wins t/e tokens) and p is
+    # uniform by symmetry, so aux = E * sum_e (1/E * 1/E) = 1.
     assert np.isclose(float(aux_u), 1.0, atol=1e-6)
     collapsed = jax.nn.softmax(
         jnp.tile(jnp.array([[100.0, 0.0, 0.0, 0.0]]), (t, 1)), axis=-1

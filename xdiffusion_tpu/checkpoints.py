@@ -61,15 +61,33 @@ def latest_step(directory: str) -> Optional[int]:
 
 
 def restore_checkpoint(
-    directory: str, abstract_state: Any, step: Optional[int] = None
+    directory: str,
+    abstract_state: Any,
+    step: Optional[int] = None,
+    shardings: Any = None,
 ) -> Tuple[Any, int]:
     """Restore into the structure of `abstract_state` (a matching pytree,
-    e.g. a freshly-initialized TrainState). Returns (state, step)."""
+    e.g. a freshly-initialized TrainState). Returns (state, step).
+
+    `shardings` (optional, pytree of NamedSharding matching the state —
+    parallel/placement.py state_shardings) restores each array DIRECTLY
+    into its shard layout: on an fsdp/tensor mesh every device reads only
+    its own shard from the checkpoint, instead of materializing the full
+    array and re-slicing."""
     directory = _resolve_dir(directory)
     mgr = _manager(directory)
     step = step if step is not None else mgr.latest_step()
     assert step is not None, f"no checkpoint found in {directory}"
-    target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, abstract_state)
+    if shardings is not None:
+        target = jax.tree_util.tree_map(
+            lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s),
+            abstract_state,
+            shardings,
+        )
+    else:
+        target = jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, abstract_state
+        )
     state = mgr.restore(step, args=ocp.args.StandardRestore(target))
     mgr.close()
     return state, int(step)

@@ -118,11 +118,11 @@ class MoEMlp(nn.Module):
     top_k: int = 1
     capacity_factor: float = 1.25
     capacity: Optional[int] = None  # explicit override (tests)
+    dropout: float = 0.0  # hidden-activation dropout, matching the dense MLP
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        del deterministic  # routing is deterministic; no dropout inside
         batch, seq, dim = x.shape
         num_tokens = batch * seq
         num_experts = self.num_experts
@@ -170,6 +170,11 @@ class MoEMlp(nn.Module):
         h = jnp.einsum("ecd,edh->ech", expert_in, k1.astype(dt))
         h = h + b1.astype(dt)[:, None, :]
         h = nn.gelu(h, approximate=True)
+        if self.dropout > 0.0:
+            # Same placement as the dense MLP branch (DiTBlock: dropout on
+            # the post-GELU hidden), so a dropout: config knob behaves
+            # identically whether the MLP is dense or expert-routed.
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         out = jnp.einsum("ech,ehd->ecd", h, k2.astype(dt))
         out = out + b2.astype(dt)[:, None, :]
         # Combine in float32: gate weights are probabilities.

@@ -27,6 +27,11 @@ from xdiffusion_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     tensor_param_shardings,
 )
+from xdiffusion_tpu.parallel.placement import (  # noqa: F401
+    param_sharding_rules,
+    shard_train_state,
+    state_shardings,
+)
 from xdiffusion_tpu.parallel.pipeline import (  # noqa: F401
     gpipe_blocks,
     pipeline_parallel,

@@ -72,18 +72,26 @@ def shard_batch(batch, mesh: Mesh):
     )
 
 
-def fsdp_param_shardings(params, mesh: Mesh):
+def fsdp_param_shardings(params, mesh: Mesh, min_size: Optional[int] = None):
     """ZeRO-3 style parameter sharding rules.
 
     Each parameter is sharded along its largest dimension divisible by the
     fsdp axis size; parameters with no such dimension (or too small to be
     worth scattering) are replicated. XLA then inserts the all-gathers on
     use and reduce-scatters on the gradient, overlapping them with compute.
+
+    min_size: smallest parameter (elements) worth scattering — below it
+    the all-gather latency outweighs the memory win. Default 2**16,
+    overridable via XDIFFUSION_FSDP_MIN_SIZE.
     """
+    import os
+
     fsdp = mesh.shape["fsdp"]
+    if min_size is None:
+        min_size = int(os.environ.get("XDIFFUSION_FSDP_MIN_SIZE", 2**16))
 
     def rule(p):
-        if fsdp == 1 or p.ndim == 0 or p.size < 2**16:
+        if fsdp == 1 or p.ndim == 0 or p.size < min_size:
             return NamedSharding(mesh, P())
         dims = sorted(range(p.ndim), key=lambda d: -p.shape[d])
         for d in dims:
@@ -171,13 +179,29 @@ def expert_param_shardings(params, mesh: Mesh, fsdp_fallback: bool = True):
     if flat is None or ep == 1:
         return fsdp_rules
     flat_rules = flatten_dict(fsdp_rules, sep="/")
+    # Expected rank of each stacked-expert parameter (layers/moe.py). A
+    # rank one higher means an extra leading layer axis (e.g. pipeline
+    # stacking via stack_block_params) — then the expert axis is dim 1,
+    # not dim 0.
+    _EXPERT_NDIM = {
+        "experts_fc1": 3,
+        "experts_fc2": 3,
+        "experts_fc1_bias": 2,
+        "experts_fc2_bias": 2,
+    }
     out = {}
     for path, leaf in flat.items():
         rule = flat_rules[path]
-        if "/experts_" in "/" + path.rsplit("/", 1)[-1] or path.split("/")[-1].startswith("experts_"):
-            if leaf.ndim >= 1 and leaf.shape[0] % ep == 0:
+        name = path.split("/")[-1]
+        if name in _EXPERT_NDIM:
+            base_ndim = _EXPERT_NDIM[name]
+            expert_dim = 0 if leaf.ndim == base_ndim else 1
+            if (
+                leaf.ndim in (base_ndim, base_ndim + 1)
+                and leaf.shape[expert_dim] % ep == 0
+            ):
                 spec = [None] * leaf.ndim
-                spec[0] = "expert"
+                spec[expert_dim] = "expert"
                 rule = NamedSharding(mesh, P(*spec))
         out[path] = rule
     return unflatten_dict(out, sep="/")

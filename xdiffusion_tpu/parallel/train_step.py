@@ -56,6 +56,7 @@ def make_train_step(
     ema_decay: Optional[float] = None,
     param_transform: Optional[Callable[[Any], Any]] = None,
     importance_sampler=None,
+    state_shardings: Optional[Any] = None,
 ) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, Dict]]:
     """Builds the jitted train step.
 
@@ -140,6 +141,14 @@ def make_train_step(
             ema_params=new_ema,
             importance_state=new_importance,
         )
+        if state_shardings is not None:
+            # Pin the updated state to the mesh-derived layout (fsdp/
+            # tensor/expert parameter shardings from parallel/placement.py)
+            # so the sharded layout is an invariant across steps rather
+            # than a GSPMD propagation outcome.
+            new_state = jax.lax.with_sharding_constraint(
+                new_state, state_shardings
+            )
         out_metrics = {
             "loss": metrics["loss"],
             "mse_loss": metrics["mse_loss"],

@@ -85,6 +85,7 @@ class DiTBlock(nn.Module):
                 num_experts=self.num_experts,
                 top_k=self.moe_top_k,
                 capacity_factor=self.moe_capacity_factor,
+                dropout=self.dropout,
                 dtype=self.dtype,
                 name="moe_mlp",
             )(h, deterministic=deterministic)
@@ -167,6 +168,7 @@ class DiT(nn.Module):
             self._hidden_size, grid[0], grid[1], base_size=16
         )
         dropout = float(cfg.dropout) if "dropout" in cfg else 0.0
+        self._dropout = dropout
         self._moe_kwargs = dict(
             num_experts=int(cfg.get("num_experts", 0) or 0),
             moe_top_k=int(cfg.get("moe_top_k", 1) or 1),
@@ -190,26 +192,41 @@ class DiT(nn.Module):
         )
 
     @nn.nowrap
-    def _pipelined_blocks(self, tokens, c, pipe):
+    def _pipelined_blocks(self, tokens, c, pipe, deterministic=True):
         """Run the homogeneous block stack through the GPipe engine
         (parallel/pipeline.py): per-block params stacked along a leading
         axis sharded over the 'pipeline' mesh axis, microbatches
         circulated stage-to-stage with ppermute. Block-internal dropout
-        is forced off on this path (rngs can't thread through the
-        pipelined scan); CFG/conditioning dropout upstream is unaffected.
+        is preserved: when training with dropout enabled, a 'dropout' rng
+        is folded per (microbatch, block) inside the pipelined scan, so
+        masks are schedule-independent deterministic functions of the key.
         """
         from xdiffusion_tpu.parallel.pipeline import (
             gpipe_blocks,
             stack_block_params,
         )
 
+        if self._moe_kwargs.get("num_experts", 0) > 1:
+            # The pipelined scan applies a detached block template without
+            # the 'intermediates' collection, so MoEMlp's sown aux loss
+            # would be silently discarded and the router would train
+            # without its load-balance term (expert-collapse risk). Fail
+            # loudly rather than train a subtly-broken MoE.
+            raise ValueError(
+                "pipeline parallelism does not support MoE blocks: the "
+                "load-balance aux loss cannot thread through the pipelined "
+                "scan. Use an 'expert' mesh axis (expert parallelism) "
+                "instead of 'pipeline' for MoE configs."
+            )
+
         mesh, axis, n_mb = pipe
         cfg = self.config
+        use_dropout = (not deterministic) and self._dropout > 0.0
         tmpl = DiTBlock(
             hidden_size=self._hidden_size,
             num_heads=int(cfg.num_heads),
             mlp_ratio=float(cfg.mlp_ratio),
-            dropout=0.0,
+            dropout=self._dropout if use_dropout else 0.0,
             dtype=self._dtype,
             parent=None,  # detached template — applied with explicit params
             **self._moe_kwargs,
@@ -221,12 +238,27 @@ class DiT(nn.Module):
             ]
         )
 
-        def block_fn(p, a, cc):
-            return tmpl.apply({"params": p}, a, cc, deterministic=True)
+        if use_dropout:
+            rng = self.make_rng("dropout")
+
+            def block_fn(p, a, cc, rng_block):
+                return tmpl.apply(
+                    {"params": p},
+                    a,
+                    cc,
+                    deterministic=False,
+                    rngs={"dropout": rng_block},
+                )
+
+        else:
+            rng = None
+
+            def block_fn(p, a, cc):
+                return tmpl.apply({"params": p}, a, cc, deterministic=True)
 
         return gpipe_blocks(
             block_fn, stacked, tokens, c, mesh,
-            axis=axis, num_microbatches=n_mb,
+            axis=axis, num_microbatches=n_mb, rng=rng,
         )
 
     def _unpatchify(self, x: jax.Array) -> jax.Array:
@@ -259,7 +291,9 @@ class DiT(nn.Module):
 
             pipe = get_pipeline_context()
         if pipe is not None:
-            tokens = self._pipelined_blocks(tokens, c, pipe)
+            tokens = self._pipelined_blocks(
+                tokens, c, pipe, deterministic=deterministic
+            )
         else:
             for block in self._blocks:
                 tokens = block(tokens, c, deterministic=deterministic)

@@ -84,6 +84,50 @@ class Flux(nn.Module):
             name="final",
         )
 
+    @nn.nowrap
+    def _stack_fits(self, pipe, depth: int) -> bool:
+        mesh, axis, _ = pipe
+        s = mesh.shape[axis]
+        return depth >= s and depth % s == 0
+
+    @nn.nowrap
+    def _pipelined_stack(self, which: str, x, cond, pipe, deterministic):
+        """GPipe path (parallel/pipeline.py) for the double- or
+        single-stream block stack; conditioning (vec, rope cos/sin) is
+        read by every stage, the (img, txt) tuple / merged tokens
+        circulate."""
+        from xdiffusion_tpu.parallel.pipeline import run_pipelined_stack
+
+        if which == "double":
+            blocks = self._double_blocks
+            tmpl = blocks[0].clone(parent=None)
+
+            def tmpl_apply(p, a, cc, r):
+                im, tx = a
+                vec, cos, sin = cc
+                return tuple(
+                    tmpl.apply(
+                        {"params": p}, im, tx, vec, cos, sin,
+                        deterministic=deterministic,
+                    )
+                )
+
+            names = [f"double_{i}" for i in range(len(blocks))]
+        else:
+            blocks = self._single_blocks
+            tmpl = blocks[0].clone(parent=None)
+
+            def tmpl_apply(p, a, cc, r):
+                vec, cos, sin = cc
+                return tmpl.apply(
+                    {"params": p}, a, vec, cos, sin,
+                    deterministic=deterministic,
+                )
+
+            names = [f"single_{i}" for i in range(len(blocks))]
+        params_list = [self.variables["params"][n] for n in names]
+        return run_pipelined_stack(tmpl_apply, params_list, x, cond, pipe)
+
     def __call__(
         self, x: jax.Array, context: Dict, deterministic: bool = True
     ) -> jax.Array:
@@ -125,12 +169,34 @@ class Flux(nn.Module):
         ids = jnp.concatenate([txt_ids, img_ids], axis=1)
         cos, sin = rope_frequencies(ids, self._axes_dim, self._theta)
 
-        for block in self._double_blocks:
-            img, txt = block(img, txt, vec, cos, sin, deterministic=deterministic)
+        pipe = None
+        if not self.is_initializing():
+            from xdiffusion_tpu.parallel.pipeline import get_pipeline_context
+
+            pipe = get_pipeline_context()
+
+        if pipe is not None and self._stack_fits(pipe, len(self._double_blocks)):
+            # GPipe path (parallel/pipeline.py): the (img, txt) dual
+            # stream circulates as a tuple through the staged blocks.
+            img, txt = self._pipelined_stack(
+                "double", (img, txt), (vec, cos, sin), pipe, deterministic
+            )
+        else:
+            for block in self._double_blocks:
+                img, txt = block(
+                    img, txt, vec, cos, sin, deterministic=deterministic
+                )
 
         merged = jnp.concatenate([txt, img], axis=1)
-        for block in self._single_blocks:
-            merged = block(merged, vec, cos, sin, deterministic=deterministic)
+        if pipe is not None and self._stack_fits(pipe, len(self._single_blocks)):
+            merged = self._pipelined_stack(
+                "single", merged, (vec, cos, sin), pipe, deterministic
+            )
+        else:
+            for block in self._single_blocks:
+                merged = block(
+                    merged, vec, cos, sin, deterministic=deterministic
+                )
         img = merged[:, txt.shape[1] :]
 
         img = self._final(img, vec)  # (B, N, C*p*p)

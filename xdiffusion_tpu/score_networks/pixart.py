@@ -238,6 +238,37 @@ class PixArtAlpha(nn.Module):
         x = x.reshape(b, gh, gw, p, p, c)
         return jnp.einsum("bhwpqc->bhpwqc", x).reshape(b, gh * p, gw * p, c)
 
+    @nn.nowrap
+    def _pipelined_blocks(self, tokens, y, shared_mod, pipe,
+                          deterministic=True):
+        """GPipe path (parallel/pipeline.py): homogeneous PixArt blocks
+        stacked and staged over the 'pipeline' mesh axis; drop-path rng
+        threads per (microbatch, block) when training."""
+        from xdiffusion_tpu.parallel.pipeline import run_pipelined_stack
+
+        tmpl = self._blocks[0].clone(parent=None)
+        use_rng = (not deterministic) and tmpl.drop_path > 0.0
+        rng = self.make_rng("dropout") if use_rng else None
+
+        def tmpl_apply(p, a, cc, r):
+            yy, sm = cc
+            if r is None:
+                return tmpl.apply(
+                    {"params": p}, a, yy, sm, deterministic=deterministic
+                )
+            return tmpl.apply(
+                {"params": p}, a, yy, sm, deterministic=False,
+                rngs={"dropout": r},
+            )
+
+        params_list = [
+            self.variables["params"][f"_blocks_{i}"]
+            for i in range(len(self._blocks))
+        ]
+        return run_pipelined_stack(
+            tmpl_apply, params_list, tokens, (y, shared_mod), pipe, rng=rng
+        )
+
     def __call__(
         self, x: jax.Array, context: Dict, deterministic: bool = True
     ) -> Union[jax.Array, Tuple[jax.Array, jax.Array]]:
@@ -266,8 +297,20 @@ class PixArtAlpha(nn.Module):
         y = context[self._context_key] if self._context_key else None
 
         tokens = self._patch_embed(x) + self._pos_embed[None]
-        for block in self._blocks:
-            tokens = block(tokens, y, shared_mod, deterministic=deterministic)
+        pipe = None
+        if not self.is_initializing():
+            from xdiffusion_tpu.parallel.pipeline import get_pipeline_context
+
+            pipe = get_pipeline_context()
+        if pipe is not None:
+            tokens = self._pipelined_blocks(
+                tokens, y, shared_mod, pipe, deterministic=deterministic
+            )
+        else:
+            for block in self._blocks:
+                tokens = block(
+                    tokens, y, shared_mod, deterministic=deterministic
+                )
 
         # Final layer: shift = table[0] + t_emb, scale = table[1] + t_emb
         # applied to the (affine-free) final norm (reference

@@ -231,6 +231,47 @@ class SD3Transformer2DModel(nn.Module):
             name="final_proj",
         )
 
+    @nn.nowrap
+    def _body_params(self):
+        return [
+            self.variables["params"][f"block_{i}"]
+            for i in range(len(self._blocks) - 1)
+        ]
+
+    @nn.nowrap
+    def _can_pipeline(self, pipe) -> bool:
+        """Body blocks must form a homogeneous stack whose depth divides
+        the pipeline stages (SD3.5 mixes MMDiT-X blocks in — those fall
+        back to the sequential loop)."""
+        from xdiffusion_tpu.parallel.pipeline import stackable
+
+        mesh, axis, _ = pipe
+        body = self._body_params()
+        return (
+            len(body) >= mesh.shape[axis]
+            and len(body) % mesh.shape[axis] == 0
+            and stackable(body)
+        )
+
+    @nn.nowrap
+    def _pipelined_blocks(self, tokens, ctx, temb, pipe, deterministic=True):
+        """GPipe path: the (tokens, context) dual stream circulates as a
+        tuple through the staged MMDiT body (parallel/pipeline.py)."""
+        from xdiffusion_tpu.parallel.pipeline import run_pipelined_stack
+
+        tmpl = self._blocks[0].clone(parent=None)
+
+        def tmpl_apply(p, a, cc, r):
+            tk, cx = a
+            tk, cx_new = tmpl.apply(
+                {"params": p}, tk, cx, cc, deterministic=deterministic
+            )
+            return (tk, cx_new if cx_new is not None else cx)
+
+        return run_pipelined_stack(
+            tmpl_apply, self._body_params(), (tokens, ctx), temb, pipe
+        )
+
     def _make_block(self, i: int, n_layers: int) -> nn.Module:
         """Block factory; SD3.5 overrides to mix in MMDiT-X blocks."""
         return MMDiTBlock(
@@ -253,11 +294,27 @@ class SD3Transformer2DModel(nn.Module):
         temb = self._time_text_embed(timestep, pooled)
         ctx = self._context_embedder(encoder_hidden)
 
-        for block in self._blocks:
-            tokens, ctx_new = block(
+        pipe = None
+        if not self.is_initializing():
+            from xdiffusion_tpu.parallel.pipeline import get_pipeline_context
+
+            pipe = get_pipeline_context()
+        if pipe is not None and self._can_pipeline(pipe):
+            # Pipeline the homogeneous body blocks; the final
+            # context_pre_only block (different param structure, drops the
+            # text stream) runs unpipelined after.
+            tokens, ctx = self._pipelined_blocks(
+                tokens, ctx, temb, pipe, deterministic=deterministic
+            )
+            tokens, _ = self._blocks[-1](
                 tokens, ctx, temb, deterministic=deterministic
             )
-            ctx = ctx_new if ctx_new is not None else ctx
+        else:
+            for block in self._blocks:
+                tokens, ctx_new = block(
+                    tokens, ctx, temb, deterministic=deterministic
+                )
+                ctx = ctx_new if ctx_new is not None else ctx
 
         # norm_out is AdaLayerNormContinuous: (scale, shift) chunk order
         # (reference layers/sd3.py:204-211).

@@ -133,6 +133,17 @@ def train(
         )
 
         set_sequence_parallel_mesh(mesh)
+    pipeline_active = mesh.shape.get("pipeline", 1) > 1
+    if pipeline_active:
+        # Pipeline parallelism (XDIFFUSION_MESH="data=N,pipeline=S"):
+        # supporting score networks route their block stacks through the
+        # GPipe engine while this context is installed (cleared around
+        # eval sampling, whose batch need not divide the microbatches).
+        from xdiffusion_tpu.parallel.pipeline import (
+            set_pipeline_parallel_mesh,
+        )
+
+        set_pipeline_parallel_mesh(mesh)
     host_batch_size = local_batch_size(batch_size)
     print(
         f"mesh: {mesh.shape} | devices: {len(jax.devices())} "
@@ -143,6 +154,16 @@ def train(
     dataset, convert_labels_to_prompts = load_dataset(
         dataset_name, config=config, split="train"
     )
+    if getattr(dataset, "synthetic", False):
+        print(
+            "=" * 70
+            + f"\nWARNING: {dataset_name} archives not found — training on "
+            "the SYNTHETIC stand-in dataset. Quality metrics from this run "
+            "are not comparable to real-data numbers.\nFetch real data "
+            "with: python tools/fetch_datasets.py --dataset all\n"
+            + "=" * 70,
+            flush=True,
+        )
     # Per-host loading: each process draws a distinct stream and only
     # its share of the global batch (reference: DDP DistributedSampler).
     batches = prefetch(batch_iterator(
@@ -231,20 +252,37 @@ def train(
         importance_sampler=importance if device_importance else None,
     )
 
+    # Mesh-driven state placement — the TPU-native accelerator.prepare()
+    # (reference training/image/train.py:215-226): fsdp/tensor/expert axes
+    # shard parameters + optimizer moments + EMA per parallel/placement.py;
+    # a plain data mesh replicates. Restores read each array directly into
+    # its shard layout.
+    from xdiffusion_tpu.parallel import shard_train_state
+
+    state, sharding_tree = shard_train_state(state, mesh)
+    if any(
+        mesh.shape.get(ax, 1) > 1 for ax in ("fsdp", "tensor", "expert")
+    ):
+        n_shard = sum(
+            1
+            for s in jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(lambda x: x.sharding, state.params)
+            )
+            if not s.is_fully_replicated
+        )
+        print(f"sharded params: {n_shard} tensors", flush=True)
+
     start_step = 0
     if resume_from:
-        state, start_step = checkpoints.restore_checkpoint(resume_from, state)
+        state, start_step = checkpoints.restore_checkpoint(
+            resume_from, state, shardings=sharding_tree
+        )
         print(f"resumed from {resume_from} @ step {start_step}", flush=True)
     elif load_model_weights_from_checkpoint:
         loaded, _ = checkpoints.restore_checkpoint(
-            load_model_weights_from_checkpoint, state
+            load_model_weights_from_checkpoint, state, shardings=sharding_tree
         )
         state = state.replace(params=loaded.params)
-    # Restored arrays are committed to a single device; re-place the state
-    # replicated over the mesh so it composes with the data-sharded batch.
-    from xdiffusion_tpu.parallel.mesh import replicated
-
-    state = jax.device_put(state, replicated(mesh))
 
     ema_decay = float(ema_cfg.get("ema_decay")) if use_ema else None
     train_step = make_train_step(
@@ -254,6 +292,7 @@ def train(
         ema_decay=ema_decay,
         param_transform=param_transform,
         importance_sampler=importance if device_importance else None,
+        state_shardings=sharding_tree,
     )
 
     host_importance = (
@@ -336,16 +375,30 @@ def train(
                         else None
                     ),
                 )
-            sample_and_save(
-                model,
-                sample_state,
-                out_dir,
-                step + 1,
-                num_samples=num_samples,
-                guidance=sample_with_guidance,
-                is_class_conditional=is_class_conditional,
-                prompt_encoder=prompt_encoder,
-            )
+            if pipeline_active:
+                # Eval sampling runs unpipelined (its batch need not
+                # divide the microbatch count; params are replicated
+                # over the pipeline axis so the math is identical).
+                from xdiffusion_tpu.parallel.pipeline import (
+                    set_pipeline_parallel_mesh,
+                )
+
+                set_pipeline_parallel_mesh(None)
+            try:
+                sample_and_save(
+                    model,
+                    sample_state,
+                    out_dir,
+                    step + 1,
+                    num_samples=num_samples,
+                    guidance=sample_with_guidance,
+                    is_class_conditional=is_class_conditional,
+                    prompt_encoder=prompt_encoder,
+                    logger=logger,
+                )
+            finally:
+                if pipeline_active:
+                    set_pipeline_parallel_mesh(mesh)
             checkpoints.save_checkpoint(ckpt_dir, state, step + 1)
             if use_lora_training:
                 from xdiffusion_tpu import lora as lora_lib
@@ -365,6 +418,14 @@ def train(
         flush=True,
     )
     logger.close()
+    if pipeline_active:
+        # Clear the process-wide pipeline context installed above so
+        # subsequent (non-pipelined) work in this process is unaffected.
+        from xdiffusion_tpu.parallel.pipeline import (
+            set_pipeline_parallel_mesh,
+        )
+
+        set_pipeline_parallel_mesh(None)
     return out_dir
 
 
@@ -398,6 +459,7 @@ def sample_and_save(
     guidance: bool = False,
     is_class_conditional: bool = False,
     prompt_encoder=None,
+    logger=None,
 ):
     params = state.ema_params if state.ema_params is not None else state.params
     context: Dict = {}
@@ -423,6 +485,8 @@ def sample_and_save(
         context=context,
         classifier_free_guidance=cfg_value,
     )
-    save_image_grid(
-        np.asarray(samples), os.path.join(out_dir, f"sample-{step}.png")
-    )
+    samples = np.asarray(samples)
+    save_image_grid(samples, os.path.join(out_dir, f"sample-{step}.png"))
+    if logger is not None:
+        # Mirror the PNG grid into TensorBoard (reference add_image).
+        logger.log_image_grid("samples", samples, step)

@@ -23,7 +23,6 @@ from xdiffusion_tpu import checkpoints
 from xdiffusion_tpu.config import instantiate_from_config, load_yaml
 from xdiffusion_tpu.datasets import load_dataset
 from xdiffusion_tpu.parallel import make_mesh, shard_batch
-from xdiffusion_tpu.parallel.mesh import replicated
 from xdiffusion_tpu.training.common import MetricsLogger, save_image_grid
 from xdiffusion_tpu.training.image.autoencoder import (
     VAETrainState,
@@ -85,10 +84,16 @@ def train_autoencoder(
         opt_ae=tx_ae.init(params["ae"]),
         opt_disc=tx_disc.init(params["disc"]),
     )
+    # Mesh-driven placement (fsdp shards VAE params + both optimizers'
+    # moments; plain data meshes replicate) — parallel/placement.py.
+    from xdiffusion_tpu.parallel import shard_train_state
+
+    state, sharding_tree = shard_train_state(state, mesh)
     start_step = 0
     if resume_from:
-        state, start_step = checkpoints.restore_checkpoint(resume_from, state)
-    state = jax.device_put(state, replicated(mesh))
+        state, start_step = checkpoints.restore_checkpoint(
+            resume_from, state, shardings=sharding_tree
+        )
 
     train_step = make_vae_train_step(vae, tx_ae, tx_disc)
     logger = MetricsLogger(out_dir)

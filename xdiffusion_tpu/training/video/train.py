@@ -28,7 +28,6 @@ from xdiffusion_tpu.parallel import (
     make_train_step,
     shard_batch,
 )
-from xdiffusion_tpu.parallel.mesh import replicated
 from xdiffusion_tpu.training.common import MetricsLogger, save_image_grid
 from xdiffusion_tpu.training.image.train import build_model, build_optimizer
 from xdiffusion_tpu.training_utils import (
@@ -112,6 +111,16 @@ def train(
     dataset, convert_labels_to_prompts = load_dataset(
         dataset_name, config=config, split="train"
     )
+    if getattr(dataset, "synthetic", False):
+        print(
+            "=" * 70
+            + f"\nWARNING: {dataset_name} archives not found — training on "
+            "the SYNTHETIC stand-in dataset. Quality metrics from this run "
+            "are not comparable to real-data numbers.\nFetch real data "
+            "with: python tools/fetch_datasets.py --dataset all\n"
+            + "=" * 70,
+            flush=True,
+        )
     # Per-host loading (multi-host: each process draws its shard).
     from xdiffusion_tpu.datasets.utils import prefetch
 
@@ -219,12 +228,20 @@ def train(
             flush=True,
         )
     state = create_train_state(params, tx)
+    # Mesh-driven placement (parallel/placement.py): fsdp/tensor/expert
+    # axes shard params + optimizer state; plain data meshes replicate.
+    from xdiffusion_tpu.parallel import shard_train_state
+
+    state, sharding_tree = shard_train_state(state, mesh)
     start_step = 0
     if resume_from:
-        state, start_step = checkpoints.restore_checkpoint(resume_from, state)
-    state = jax.device_put(state, replicated(mesh))
+        state, start_step = checkpoints.restore_checkpoint(
+            resume_from, state, shardings=sharding_tree
+        )
 
-    train_step = make_train_step(model, tx, mesh)
+    train_step = make_train_step(
+        model, tx, mesh, state_shardings=sharding_tree
+    )
     from xdiffusion_tpu.training.image.train import _is_text_conditional
 
     needs_text = _is_text_conditional(model.models()[0])
