@@ -574,10 +574,15 @@ class GaussianDiffusion_DDPM:
         context: Dict,
         N: int,
         teacher_process: Optional["GaussianDiffusion_DDPM"] = None,
+        timesteps: Optional[jax.Array] = None,
+        noise: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Dict]:
         """Progressive distillation (Salimans & Ho 2022): the student learns
         to match TWO teacher DDIM steps with one step. v-param continuous
-        schedulers only (reference ddpm.py:338-542). N may be traced."""
+        schedulers only (reference ddpm.py:338-542). N may be traced.
+
+        timesteps/noise inject the training randomness (float t = i/N and
+        epsilon) for golden-parity tests, mirroring loss_on_batch."""
         teacher_process = teacher_process or self
         sched = self._noise_scheduler
         assert sched.continuous(), "distillation requires a continuous scheduler"
@@ -586,12 +591,19 @@ class GaussianDiffusion_DDPM:
         rng_t, rng_eps = jax.random.split(rng)
 
         x_0 = normalize_to_neg_one_to_one(images)
-        t = jax.random.randint(rng_t, (b,), 0, N).astype(jnp.float32) / N
+        if timesteps is not None:
+            t = jnp.asarray(timesteps, jnp.float32)
+        else:
+            t = jax.random.randint(rng_t, (b,), 0, N).astype(jnp.float32) / N
         logsnr = sched.logsnr(t)
         context["logsnr_t"] = logsnr
         context["timestep"] = t
 
-        epsilon = jax.random.normal(rng_eps, x_0.shape)
+        epsilon = (
+            jnp.asarray(noise)
+            if noise is not None
+            else jax.random.normal(rng_eps, x_0.shape)
+        )
         z_t = sched.q_sample(x_start=x_0, t=t, noise=epsilon)
 
         def expand(v):
