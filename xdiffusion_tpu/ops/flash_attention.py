@@ -32,48 +32,71 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 
 
-def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float, block_k: int
-):
-    # q_ref: (1, 1, block_q, D); k_ref/v_ref: (1, 1, Sk, D) resident in VMEM.
-    q = q_ref[0, 0]
-    sk = k_ref.shape[2]
-    block_q, d = q.shape
-    num_kv = sk // block_k
-
-    m0 = jnp.full((block_q, 1), -jnp.inf, dtype=jnp.float32)
-    l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
-    acc0 = jnp.zeros((block_q, d), dtype=jnp.float32)
-
-    def body(i, carry):
-        m, l, acc = carry
-        k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
-        logits = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (block_q, block_k); bf16 dot, fp32 accumulation
-        m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
-        p = jnp.exp(logits - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p.astype(v.dtype),
-            v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+def _dim_semantics(params: dict, semantics: tuple):
+    """Attach Mosaic dimension_semantics when this JAX exposes it (the
+    innermost grid axes below are accumulation ('arbitrary') axes; the
+    rest are parallel). Harmless to omit — TPU grids execute as
+    sequential loops with the last axis innermost either way."""
+    try:
+        return pltpu.CompilerParams(
+            dimension_semantics=semantics, **params
         )
-        return m_new, l_new, acc_new
+    except TypeError:
+        return pltpu.CompilerParams(**params)
 
-    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
-    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
-    # Per-row logsumexp: the backward's softmax residual (tiny vs O).
-    # Kept as a (Sq, 1) trailing-unit column: Mosaic requires the last
-    # two block dims be (8, 128)-divisible OR equal the array dims, so a
-    # rank-3 (1, 1, block_q) row block fails to lower on real TPU.
-    lse_ref[0, 0] = m + jnp.log(l)
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s, *, scale: float
+):
+    """One (q block, k/v tile) grid step of the online softmax.
+
+    The k/v axis is the INNERMOST GRID DIMENSION, not an in-kernel loop
+    over a VMEM-resident (1, 1, Sk, D) slab: the running (max, sum,
+    accumulator) state lives in VMEM scratch that persists across the ki
+    steps, and the o/lse blocks (whose index map ignores ki) are written
+    on the final tile. Per-step VMEM is a few hundred KB regardless of
+    sequence length — this is what lifted the round-4 kernel's 4096-token
+    ceiling (its full-Sk slabs crashed the Mosaic compile helper at 8k).
+    """
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _():
+        m_s[:] = jnp.full_like(m_s, -jnp.inf)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    logits = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (block_q, block_k); bf16 dot, fp32 accumulation
+    m_prev = m_s[:]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+    p = jnp.exp(logits - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_s[:] = acc_s[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_s[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[0, 0] = (acc_s[:] / l_s[:]).astype(o_ref.dtype)
+        # Per-row logsumexp: the backward's softmax residual. Kept as a
+        # (Sq, 1) trailing-unit column: Mosaic requires the last two
+        # block dims be (8, 128)-divisible OR equal the array dims, so a
+        # rank-3 (1, 1, block_q) row block fails to lower on real TPU.
+        lse_ref[0, 0] = m_s[:] + jnp.log(l_s[:])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -91,8 +114,8 @@ def _flash_forward(q, k, v, scale: float):
         f"sequence ({sq},{sk}) must tile by ({block_q},{block_k})"
     )
 
-    grid = (b, h, sq // block_q)
-    kernel = functools.partial(_flash_kernel, scale=scale, block_k=block_k)
+    grid = (b, h, sq // block_q, sk // block_k)
+    kernel = functools.partial(_flash_kernel, scale=scale)
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -103,31 +126,39 @@ def _flash_forward(q, k, v, scale: float):
         in_specs=[
             pl.BlockSpec(
                 (1, 1, block_q, d),
-                lambda bi, hi, qi: (bi, hi, qi, 0),
+                lambda bi, hi, qi, ki: (bi, hi, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, sk, d),
-                lambda bi, hi, qi: (bi, hi, 0, 0),
+                (1, 1, block_k, d),
+                lambda bi, hi, qi, ki: (bi, hi, ki, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, sk, d),
-                lambda bi, hi, qi: (bi, hi, 0, 0),
+                (1, 1, block_k, d),
+                lambda bi, hi, qi, ki: (bi, hi, ki, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
             pl.BlockSpec(
                 (1, 1, block_q, d),
-                lambda bi, hi, qi: (bi, hi, qi, 0),
+                lambda bi, hi, qi, ki: (bi, hi, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, block_q, 1),
-                lambda bi, hi, qi: (bi, hi, qi, 0),
+                lambda bi, hi, qi, ki: (bi, hi, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),   # running max
+            pltpu.VMEM((block_q, 1), jnp.float32),   # running sum
+            pltpu.VMEM((block_q, d), jnp.float32),   # output accumulator
+        ],
+        compiler_params=_dim_semantics(
+            {}, ("parallel", "parallel", "parallel", "arbitrary")
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq * sk * d,
@@ -399,97 +430,97 @@ short_attention_bsc.defvjp(_bsc_fwd, _bsc_bwd)
 
 
 def _flash_dq_kernel(
-    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, *,
-    scale: float, block_k: int,
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, dq_s, *,
+    scale: float,
 ):
-    """dq for one q block: loop k/v tiles, p = exp(logits - lse),
-    ds = p * (g v^T - delta) * scale, dq += ds @ k."""
+    """dq for one (q block, k/v tile) grid step: p = exp(logits - lse),
+    ds = p * (g v^T - delta) * scale, dq_scratch += ds @ k; the dq block
+    is committed on the final k/v tile. Like the forward, the k/v axis is
+    the innermost grid dimension — no full-Sk VMEM slab."""
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_s[:] = jnp.zeros_like(dq_s)
+
     q = q_ref[0, 0]
     g = g_ref[0, 0]
     lse = lse_ref[0, 0]  # (block_q, 1) fp32
     delta = delta_ref[0, 0]
-    sk = k_ref.shape[2]
-    block_q, d = q.shape
-
-    def body(i, dq):
-        k = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
-        logits = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        p = jnp.exp(logits - lse)  # (block_q, block_k) fp32
-        dp = jax.lax.dot_general(
-            g, v,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = (p * (dp - delta) * scale).astype(q.dtype)
-        return dq + jax.lax.dot_general(
-            ds, k,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    dq = jax.lax.fori_loop(
-        0, sk // block_k, body, jnp.zeros((block_q, d), jnp.float32)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    logits = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    p = jnp.exp(logits - lse)  # (block_q, block_k) fp32
+    dp = jax.lax.dot_general(
+        g, v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    dq_s[:] = dq_s[:] + jax.lax.dot_general(
+        ds, k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _():
+        dq_ref[0, 0] = dq_s[:].astype(dq_ref.dtype)
 
 
 def _flash_dkv_kernel(
-    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dk_ref, dv_ref, *,
-    scale: float, block_q: int,
+    q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_s, dv_s, *, scale: float,
 ):
-    """dk/dv for one k/v block: loop q tiles, accumulate
-    dv += p^T g and dk += ds^T q."""
+    """dk/dv for one (k/v block, q tile) grid step: accumulate
+    dv_scratch += p^T g and dk_scratch += ds^T q across the q tiles
+    (innermost grid dimension); commit on the final tile."""
+    qi = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_s[:] = jnp.zeros_like(dk_s)
+        dv_s[:] = jnp.zeros_like(dv_s)
+
     k = k_ref[0, 0]
     v = v_ref[0, 0]
-    sq = q_ref.shape[2]
-    block_k, d = k.shape
-
-    def body(i, carry):
-        dk, dv = carry
-        q = q_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        g = g_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        logits = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (block_q, block_k)
-        p = jnp.exp(logits - lse)
-        dv_new = dv + jax.lax.dot_general(
-            p.astype(g.dtype), g,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            g, v,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = (p * (dp - delta) * scale).astype(q.dtype)
-        dk_new = dk + jax.lax.dot_general(
-            ds, q,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return dk_new, dv_new
-
-    dk, dv = jax.lax.fori_loop(
-        0,
-        sq // block_q,
-        body,
-        (
-            jnp.zeros((block_k, d), jnp.float32),
-            jnp.zeros((block_k, d), jnp.float32),
-        ),
+    q = q_ref[0, 0]
+    g = g_ref[0, 0]
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+    logits = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (block_q, block_k)
+    p = jnp.exp(logits - lse)
+    dv_s[:] = dv_s[:] + jax.lax.dot_general(
+        p.astype(g.dtype), g,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        g, v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    dk_s[:] = dk_s[:] + jax.lax.dot_general(
+        ds, q,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0, 0] = dk_s[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_s[:].astype(dv_ref.dtype)
 
 
 def _flash_fwd(q, k, v, scale):
@@ -511,37 +542,30 @@ def _flash_bwd(scale, residuals, g):
         keepdims=True,
     )  # (B, H, Sq, 1) — trailing-unit column like lse (Mosaic tiling)
 
-    q_block = pl.BlockSpec(
-        (1, 1, block_q, d), lambda bi, hi, i: (bi, hi, i, 0),
+    # (q-major grid) blocks: q/g/dq/lse/delta advance with qi, k/v with ki.
+    q_by_qi = pl.BlockSpec(
+        (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
         memory_space=pltpu.VMEM,
     )
-    q_full = pl.BlockSpec(
-        (1, 1, sq, d), lambda bi, hi, i: (bi, hi, 0, 0),
+    k_by_ki = pl.BlockSpec(
+        (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0),
         memory_space=pltpu.VMEM,
     )
-    k_block = pl.BlockSpec(
-        (1, 1, block_k, d), lambda bi, hi, i: (bi, hi, i, 0),
-        memory_space=pltpu.VMEM,
-    )
-    k_full = pl.BlockSpec(
-        (1, 1, sk, d), lambda bi, hi, i: (bi, hi, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    row_block = pl.BlockSpec(
-        (1, 1, block_q, 1), lambda bi, hi, i: (bi, hi, i, 0),
-        memory_space=pltpu.VMEM,
-    )
-    row_full = pl.BlockSpec(
-        (1, 1, sq, 1), lambda bi, hi, i: (bi, hi, 0, 0),
+    row_by_qi = pl.BlockSpec(
+        (1, 1, block_q, 1), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
         memory_space=pltpu.VMEM,
     )
 
     dq = pl.pallas_call(
-        functools.partial(_flash_dq_kernel, scale=scale, block_k=block_k),
+        functools.partial(_flash_dq_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        grid=(b, h, sq // block_q),
-        in_specs=[q_block, k_full, k_full, q_block, row_block, row_block],
-        out_specs=q_block,
+        grid=(b, h, sq // block_q, sk // block_k),
+        in_specs=[q_by_qi, k_by_ki, k_by_ki, q_by_qi, row_by_qi, row_by_qi],
+        out_specs=q_by_qi,
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=_dim_semantics(
+            {}, ("parallel", "parallel", "parallel", "arbitrary")
+        ),
         cost_estimate=pl.CostEstimate(
             flops=6 * b * h * sq * sk * d,
             bytes_accessed=3 * q.size * q.dtype.itemsize,
@@ -549,15 +573,38 @@ def _flash_bwd(scale, residuals, g):
         ),
     )(q, k, v, g, lse, delta)
 
+    # (k-major grid) blocks: k/v/dk/dv advance with ki, q tiles innermost.
+    q_by_qi2 = pl.BlockSpec(
+        (1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    k_by_ki2 = pl.BlockSpec(
+        (1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0),
+        memory_space=pltpu.VMEM,
+    )
+    row_by_qi2 = pl.BlockSpec(
+        (1, 1, block_q, 1), lambda bi, hi, ki, qi: (bi, hi, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_dkv_kernel, scale=scale, block_q=block_q),
+        functools.partial(_flash_dkv_kernel, scale=scale),
         out_shape=(
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ),
-        grid=(b, h, sk // block_k),
-        in_specs=[q_full, k_block, k_block, q_full, row_full, row_full],
-        out_specs=(k_block, k_block),
+        grid=(b, h, sk // block_k, sq // block_q),
+        in_specs=[
+            q_by_qi2, k_by_ki2, k_by_ki2, q_by_qi2, row_by_qi2, row_by_qi2,
+        ],
+        out_specs=(k_by_ki2, k_by_ki2),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=_dim_semantics(
+            {}, ("parallel", "parallel", "parallel", "arbitrary")
+        ),
         cost_estimate=pl.CostEstimate(
             flops=8 * b * h * sq * sk * d,
             bytes_accessed=4 * q.size * q.dtype.itemsize,
