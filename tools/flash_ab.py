@@ -91,17 +91,39 @@ if __name__ == "__main__":
         xla_g = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))
 
         row = {"stage": "flash_ab", "label": label, "shape": [b, h, s, d]}
-        try:
-            t_ff = timed(flash_f, (q, k, v), args.iters)
-            t_xf = timed(xla_f, (q, k, v), args.iters)
+
+        # Per-op attribution: at 8k+ tokens the XLA baseline's fp32
+        # (S, S) logits are h*S^2*4 bytes (8.6 GB at 8k d=64 h=32, 34 GB
+        # at 16k) — ITS failure must not read as a flash-kernel crash
+        # (round 4 mis-attributed exactly this).
+        def attempt(name, fn, fn_args, iters):
+            try:
+                return timed(fn, fn_args, iters)
+            except Exception as e:  # OOM/compile failure must be visible
+                row[name + "_error"] = repr(e)[:220]
+                return None
+
+        t_ff = attempt("flash_fwd", flash_f, (q, k, v), args.iters)
+        t_xf = attempt("xla_fwd", xla_f, (q, k, v), args.iters)
+        if t_ff and t_xf:
             row["fwd_ms"] = {"flash": round(t_ff * 1e3, 3),
                              "xla": round(t_xf * 1e3, 3),
                              "speedup": round(t_xf / t_ff, 3)}
-            t_fg = timed(flash_g, (q, k, v), max(2, args.iters // 2))
-            t_xg = timed(xla_g, (q, k, v), max(2, args.iters // 2))
+        elif t_ff:
+            row["fwd_ms"] = {"flash": round(t_ff * 1e3, 3)}
+        t_fg = attempt(
+            "flash_fwdbwd", flash_g, (q, k, v), max(2, args.iters // 2)
+        )
+        t_xg = attempt(
+            "xla_fwdbwd", xla_g, (q, k, v), max(2, args.iters // 2)
+        )
+        if t_fg and t_xg:
             row["fwdbwd_ms"] = {"flash": round(t_fg * 1e3, 3),
                                 "xla": round(t_xg * 1e3, 3),
                                 "speedup": round(t_xg / t_fg, 3)}
+        elif t_fg:
+            row["fwdbwd_ms"] = {"flash": round(t_fg * 1e3, 3)}
+        if t_ff and t_xf:
             # numerics sanity at this shape
             import numpy as np
 
@@ -112,8 +134,6 @@ if __name__ == "__main__":
                 ).max()
             )
             row["max_abs_diff"] = float(diff)
-        except Exception as e:  # OOM/compile failure must be visible
-            row["error"] = repr(e)[:300]
         rows.append(row)
         print(json.dumps(row), flush=True)
 

@@ -96,19 +96,22 @@ def _flash_eligible(q: jax.Array, k: jax.Array) -> bool:
     through self-attention at head_dim 64 (LTX dim_head 64, Hunyuan 128)
     — so the head-dim requirement is a 64-multiple (a half-width MXU
     tile; 128 stays the fast path), not the 128-multiple that excluded
-    every shipped config. k/v (and q/g in the backward) are held
-    VMEM-resident per (batch, head), which bounds the sequence.
+    every shipped config.
 
-    On-chip A/B at the calibration shapes (tools/flash_ab.py, v5e,
-    bf16, min-of-10): 4096 tokens d=64 (LTX patchified grid) flash wins
-    1.25x fwd / 1.38x fwd+bwd; 4096 tokens d=128 (Hunyuan) 1.60x /
-    1.56x; max |diff| vs the XLA path 9.8e-4. Beyond 4096 tokens the
-    Mosaic compile helper CRASHES (subprocess exit 1, no diagnostic)
-    for parts of the program: at 8192 tokens the d=128 forward still
-    compiles and wins 39x (XLA materializes the fp32 logits) but its
-    backward crashes, and the d=64 forward crashes outright — so the
-    gate below is the verified-to-compile-and-win envelope
-    (max seq 4096), not the theoretical VMEM budget."""
+    There is NO sequence-length cap: since the round-5 rewrite the k/v
+    axis streams through the grid (innermost dimension + VMEM scratch
+    accumulators, ops/flash_attention.py), so per-step VMEM is a few
+    hundred KB at any length. Round 4's 4096 cap mis-attributed a crash:
+    the failing program was the XLA BASELINE, whose fp32 (S, S) logits
+    are h*S^2*4 bytes (8.6 GB at 8k d=64 h=32; 34 GB at 16k) — beyond
+    ~8k tokens XLA cannot run these shapes at all.
+
+    On-chip A/B (tools/flash_ab.py, v5e, bf16, min-of-6..10): 4k d=64
+    1.11x fwd / 1.24x fwd+bwd; 4k d=128 1.48x / 1.56x; 8k d=128 36x
+    fwd / 11.5x fwd+bwd; 16k d=128 1.55x fwd; 8k d=64 43.9 ms fwd /
+    79.1 ms fwd+bwd and 16k d=64 94.6 / 232.8 ms with NO XLA baseline
+    possible (its logits OOM). max |flash-xla| <= 9.8e-4 where both run.
+    """
     if jax.default_backend() != "tpu":
         return False
     *_, sq, d = q.shape
@@ -117,14 +120,9 @@ def _flash_eligible(q: jax.Array, k: jax.Array) -> bool:
         # Below these sizes the XLA path is already speed-of-light; the
         # kernel's block bookkeeping would only add overhead.
         return False
-    if max(sq, sk) > 4096:
-        # Measured Mosaic compile-helper crash boundary (see docstring);
-        # longer sequences stay on XLA until it is understood.
-        return False
-    # Residency bound: q/k/v/g full-sequence slabs per grid step in the
-    # backward -> 4 * S * d bytes must leave VMEM headroom (this is what
-    # still excludes fp32 at d=128).
-    return 4 * max(sq, sk) * d * q.dtype.itemsize <= 4 * 1024 * 1024
+    # The kernel tiles sequences by (block_q=256, block_k=512); shapes
+    # that don't divide stay on XLA (the shipped video grids all divide).
+    return sq % 256 == 0 and sk % 512 == 0
 
 
 @functools.lru_cache(maxsize=1)
