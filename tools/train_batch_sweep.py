@@ -27,6 +27,20 @@ BATCHES = (64, 128, 256, 512)
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--batches",
+        default=None,
+        help="comma-separated batch sizes (default 64,128,256,512); "
+        "split across invocations when compile budget is tight",
+    )
+    args = ap.parse_args()
+    global BATCHES
+    if args.batches:
+        BATCHES = tuple(int(x) for x in args.batches.split(","))
+
     import jax
     import numpy as np
 
