@@ -36,6 +36,12 @@ def main():
         help="comma-separated batch sizes (default 64,128,256,512); "
         "split across invocations when compile budget is tight",
     )
+    ap.add_argument(
+        "--config_path",
+        default=None,
+        help="train-step config to sweep (default: flagship DDPM-MNIST); "
+        "e.g. configs/image/mnist/dit_moe.yaml for the MoE row",
+    )
     args = ap.parse_args()
     global BATCHES
     if args.batches:
@@ -54,7 +60,7 @@ def main():
         shard_batch,
     )
 
-    config_path = os.path.join(
+    config_path = args.config_path or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "..", "configs/image/mnist/ddpm_32x32_epsilon_discrete.yaml",
     )
@@ -71,14 +77,17 @@ def main():
         params = model.init_params(jax.random.PRNGKey(0))
         state = create_train_state(params, tx, ema=True)
         step = make_train_step(model, tx, mesh, ema_decay=0.9999)
-        batch_np = shard_batch(
-            {
-                "images": rng.uniform(size=(batch, 32, 32, 1)).astype(
-                    np.float32
-                )
-            },
-            mesh,
-        )
+        host_batch = {
+            "images": rng.uniform(size=(batch, 32, 32, 1)).astype(np.float32)
+        }
+        sn = config.diffusion.score_network.params
+        if bool(sn.get("is_class_conditional", False)) or int(
+            sn.get("label_dim", 0) or 0
+        ) > 0:
+            host_batch["classes"] = (
+                np.arange(batch, dtype=np.int32) % 10
+            )
+        batch_np = shard_batch(host_batch, mesh)
         key = jax.random.PRNGKey(1)
         # Warm up (compile) + 2 steady-state steps.
         for _ in range(3):

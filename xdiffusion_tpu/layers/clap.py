@@ -11,6 +11,12 @@ conditioning embeddings are computed once per unique prompt and cached,
 so this is off the train step's hot path). Without cached weights the
 embedder degrades to a deterministic hash-seeded pseudo-embedding with
 the same (B, embedding_dim) contract.
+
+Fidelity note: HF CLAP and msclap's CLAP-2023 share the contract but NOT
+the pretrained embedding space, so audio checkpoints conditioned through
+one are not numerically cross-compatible with the other — retrain (or
+re-finetune the conditioning pathway) when importing reference audio
+checkpoints. Swap `version` to a local msclap export to close the gap.
 """
 
 from __future__ import annotations

@@ -305,14 +305,26 @@ def short_attention_bsc(q, k, v, heads: int, scale: float):
     return _bsc_forward(q, k, v, heads, scale)
 
 
+def _bsc_group_bytes() -> int:
+    """Per-grid-step block budget for the (B,S,C) kernels. Larger groups
+    amortize grid-step overhead (the lever for small-batch dispatch);
+    env-tunable for A/B sweeps."""
+    import os
+
+    return int(
+        os.environ.get("XDIFFUSION_BSC_GROUP_BYTES", 4 * 2**20)
+    )
+
+
 def _bsc_forward(q, k, v, heads, scale):
     b, sq, c = q.shape
     sk = k.shape[1]
-    # ~4 MB of q/k/v/o block bytes per grid step: enough per-step work to
-    # amortize grid overhead while staying well inside VMEM.
+    # ~4 MB (default) of q/k/v/o block bytes per grid step: enough
+    # per-step work to amortize grid overhead while staying inside VMEM.
     per = (2 * sq + 2 * sk) * c * q.dtype.itemsize
+    budget = _bsc_group_bytes()
     group = 1
-    while group * 2 <= b and b % (group * 2) == 0 and (group * 2) * per <= 4 * 2**20:
+    while group * 2 <= b and b % (group * 2) == 0 and (group * 2) * per <= budget:
         group *= 2
     kernel = functools.partial(_bsc_kernel, scale=scale, heads=heads, group=group)
     return pl.pallas_call(
@@ -391,8 +403,9 @@ def _bsc_backward(q, k, v, g, heads, scale):
     b, sq, c = q.shape
     sk = k.shape[1]
     per = (2 * sq + 3 * sk) * c * q.dtype.itemsize
+    budget = _bsc_group_bytes()
     group = 1
-    while group * 2 <= b and b % (group * 2) == 0 and (group * 2) * per <= 4 * 2**20:
+    while group * 2 <= b and b % (group * 2) == 0 and (group * 2) * per <= budget:
         group *= 2
     kernel = functools.partial(
         _bsc_bwd_kernel, scale=scale, heads=heads, group=group
