@@ -93,20 +93,25 @@ def main():
     os.makedirs(args.output_path, exist_ok=True)
     save_image_grid(mels, os.path.join(args.output_path, "mel_grid.png"))
     n_mels = mels.shape[2]
-    for i, (mel_img, prompt) in enumerate(zip(mels, prompts)):
-        # (frames, n_mels) logmel in [0,1] -> power mel -> waveform.
-        logmel = mel_img[..., 0]
-        mel_power = np.asarray(logmel_to_mel(logmel))
-        wav = np.asarray(
-            mel_to_wav(mel_power, n_mels=n_mels, n_iter=24)
-        )
-        write_wav(
-            os.path.join(
-                args.output_path,
-                f"sample-{i}-{prompt.replace(' ', '_')}.wav",
-            ),
-            wav,
-        )
+    # Griffin-Lim runs on the host CPU backend: the inversion is FFT-bound
+    # (irfft/rfft are not implemented on every TPU runtime) and off the
+    # hot path — only the diffusion sampling above uses the chip.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        for i, (mel_img, prompt) in enumerate(zip(mels, prompts)):
+            # (frames, n_mels) logmel in [0,1] -> power mel -> waveform.
+            logmel = jax.device_put(mel_img[..., 0], cpu)
+            mel_power = np.asarray(logmel_to_mel(logmel))
+            wav = np.asarray(
+                mel_to_wav(mel_power, n_mels=n_mels, n_iter=24)
+            )
+            write_wav(
+                os.path.join(
+                    args.output_path,
+                    f"sample-{i}-{prompt.replace(' ', '_')}.wav",
+                ),
+                wav,
+            )
     print(
         json.dumps(
             {

@@ -95,15 +95,21 @@ class AutoencoderKL(VariationalAutoEncoder):
     def init_params(self, rng: jax.Array, batch_size: int = 1) -> Dict:
         edc = self._config.encoder_decoder_config.to_dict()
         res = edc.get("resolution", 32)
-        x = jnp.zeros((batch_size, res, res, edc.get("in_channels", 3)))
+        # Square int or [H, W] (the audio VAE trains on 64x128 log-mels).
+        res_h, res_w = (
+            (int(res[0]), int(res[1]))
+            if isinstance(res, (list, tuple))
+            else (int(res), int(res))
+        )
+        x = jnp.zeros((batch_size, res_h, res_w, edc.get("in_channels", 3)))
         rng_p, rng_s, rng_l = jax.random.split(rng, 3)
         ae = jax.jit(self.module.init, static_argnums=())(rng_p, x, rng_s)
         params = {"ae": ae}
         if self.loss_module is not None:
             recon = x
+            down = 2 ** (len(edc["ch_mult"]) - 1)
             moments = jnp.zeros(
-                (batch_size, res // (2 ** (len(edc["ch_mult"]) - 1)),
-                 res // (2 ** (len(edc["ch_mult"]) - 1)),
+                (batch_size, res_h // down, res_w // down,
                  2 * int(self._config.embed_dim)),
             )
             posterior = DiagonalGaussianDistribution(moments)

@@ -85,7 +85,11 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         h = nn.Conv(self.ch, (3, 3), name="conv_in")(x)
+        # `res` only gates attn_resolutions membership; rectangular inputs
+        # (audio 64x128 log-mels) track their smaller side.
         res = self.resolution
+        if isinstance(res, (list, tuple)):
+            res = min(int(r) for r in res)
         for level, mult in enumerate(self.ch_mult):
             for i in range(self.num_res_blocks):
                 h = VAEResnetBlock(
@@ -137,7 +141,10 @@ class Decoder(nn.Module):
         h = VAEResnetBlock(out_channels=c_top, dropout=self.dropout,
                            name="mid_block_2")(h, deterministic=deterministic)
 
-        res = self.resolution // (2 ** (len(self.ch_mult) - 1))
+        res = self.resolution
+        if isinstance(res, (list, tuple)):
+            res = min(int(r) for r in res)
+        res //= 2 ** (len(self.ch_mult) - 1)
         for level, mult in reversed(list(enumerate(self.ch_mult))):
             for i in range(self.num_res_blocks + 1):
                 h = VAEResnetBlock(

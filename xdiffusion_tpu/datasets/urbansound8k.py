@@ -70,23 +70,29 @@ class UrbanSound8k:
         self.labels = labels
 
     @staticmethod
-    def _synthesize(split: str, image_size: int, n: int):
+    def _synthesize(split: str, image_size, n: int):
         import jax.numpy as jnp
 
         from xdiffusion_tpu.layers.audio import mel_to_logmel, wav_to_mel
 
+        # Square int (diffusion configs: 32) or [frames, n_mels] (the VAE
+        # config trains on 64x128 log-mel rectangles).
+        if isinstance(image_size, (list, tuple)):
+            n_frames, n_mels = int(image_size[0]), int(image_size[1])
+        else:
+            n_frames = n_mels = int(image_size)
         seed = 0 if split == "train" else 1
         clips, labels = synthesize_clips(n, seed=seed)
         mels = []
         for clip in clips:
-            m = wav_to_mel(clip, n_mels=image_size)  # (frames, n_mels)
+            m = wav_to_mel(clip, n_mels=n_mels)  # (frames, n_mels)
             m = mel_to_logmel(m)
-            # Clip/pad frames to a square spectrogram "image".
+            # Clip/pad frames to the target spectrogram "image".
             frames = m.shape[0]
-            if frames >= image_size:
-                m = m[:image_size]
+            if frames >= n_frames:
+                m = m[:n_frames]
             else:
-                m = jnp.pad(m, ((0, image_size - frames), (0, 0)))
+                m = jnp.pad(m, ((0, n_frames - frames), (0, 0)))
             mels.append(np.asarray(m))
         mels = np.stack(mels)[..., None]  # (N, S, S, 1)
         return mels.astype(np.float32), labels
